@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (synthesize repo table →
+ingest link graph → PageRank to 1e-6 → top-20 joined with labels) on
+sf0.001-sized input. ``queries()`` / ``oracle_sql()`` expose the
+operator surface from SURVEY.md §2 for the DuckDB parity gate — see
+quiver_spark/queries.py for the implementations and the oracle SQL
+generators.
 """
 
 from __future__ import annotations
@@ -12,27 +13,34 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001-scale input."""
+    from quiver_spark import ingest as ing
+    from quiver_spark.algorithms import pagerank
+
+    repos = ing.synthesize_repo_table(spark, n_files=1000, n_repos=20, seed=42)
+    g = ing.ingest(repos)
+    res = pagerank(g, tol=1e-6, max_iters=50)
+    return (
+        res.state.join(g.vertices, "id")
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+        .select("id", "repo", "path", "lang", "rank")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from quiver_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each query (where SQL-expressible)."""
+    from quiver_spark.queries import ORACLES
+
+    return dict(ORACLES)

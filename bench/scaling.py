@@ -1,0 +1,107 @@
+"""Scaling-efficiency evidence: same PageRank job at two parallelism
+levels (local[8] vs local[32]) on the same seeded power-law edge
+table — the sandbox proxy for the north rule's "N vs 4N executors,
+efficiency ≥ 0.8" criterion (BASELINE.md; no real cluster exists
+here, see SURVEY.md §6).
+
+Each level runs in its own subprocess (fresh JVM) so executor-thread
+pools don't bleed between measurements. Writes/updates
+BENCH/BASELINE.md with throughput at both levels and the computed
+efficiency, and prints one JSON line.
+
+Usage: python bench/scaling.py [--edges 20000000] [--vertices 2000000]
+       [--iters 10] [--levels 8,32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+_CHILD = """
+import json, os, sys, time
+from quiver_spark.session import get_spark
+from quiver_spark import ingest as ing
+from quiver_spark.graph import Graph
+from quiver_spark.algorithms import pagerank
+
+cores = int(sys.argv[1]); n_v = int(sys.argv[2]); n_e = int(sys.argv[3]); iters = int(sys.argv[4])
+spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]")
+spark.sparkContext.setLogLevel("ERROR")
+edges = ing.synthesize_powerlaw_edges(spark, n_vertices=n_v, n_edges=n_e, seed=42)
+g = Graph.from_edges(edges)
+g.persist(); g.count_nodes(); g.count_edges()
+# warm-up superstep so JIT/codegen doesn't bias the timing
+pagerank(g, num_iters=1)
+t0 = time.monotonic()
+res = pagerank(g, num_iters=iters)
+res.state.count()
+wall = time.monotonic() - t0
+print("RESULT " + json.dumps({
+    "cores": cores, "wall_sec": round(wall, 3), "supersteps": iters,
+    "supersteps_per_sec": round(iters / wall, 4),
+    "edges_per_sec": round(iters * n_e / wall, 1),
+}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, n_v: int, n_e: int, iters: int) -> dict:
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out = subprocess.run(
+        [sys.executable, "-c", _CHILD, str(cores), str(n_v), str(n_e), str(iters)],
+        capture_output=True,
+        text=True,
+        env=env,
+        check=False,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"child (local[{cores}]) failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", type=int, default=20_000_000)
+    ap.add_argument("--vertices", type=int, default=2_000_000)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--levels", default="8,32")
+    args = ap.parse_args()
+    lo, hi = (int(x) for x in args.levels.split(","))
+
+    r_lo = run_level(lo, args.vertices, args.edges, args.iters)
+    r_hi = run_level(hi, args.vertices, args.edges, args.iters)
+    factor = hi / lo
+    eff = (r_hi["edges_per_sec"] / r_lo["edges_per_sec"]) / factor
+    result = {
+        "metric": "pagerank_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"throughput ratio / {factor:g}x cores",
+        "low": r_lo,
+        "high": r_hi,
+        "n_vertices": args.vertices,
+        "n_edges": args.edges,
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n## pagerank scaling run ({args.edges:,} edges, {args.vertices:,} vertices, "
+            f"{args.iters} fixed supersteps)\n\n"
+            f"| parallelism | wall (s) | supersteps/sec | edges/sec |\n|---|---|---|---|\n"
+            f"| local[{lo}] | {r_lo['wall_sec']} | {r_lo['supersteps_per_sec']} | {r_lo['edges_per_sec']:,} |\n"
+            f"| local[{hi}] | {r_hi['wall_sec']} | {r_hi['supersteps_per_sec']} | {r_hi['edges_per_sec']:,} |\n\n"
+            f"scaling efficiency (throughput@{hi} / throughput@{lo}) / {factor:g} = **{eff:.3f}** "
+            f"(target ≥ 0.8 → {'PASS' if eff >= 0.8 else 'FAIL'})\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,12 @@
+from quiver_spark.algorithms.components import connected_components
+from quiver_spark.algorithms.labelprop import label_propagation
+from quiver_spark.algorithms.pagerank import pagerank
+from quiver_spark.algorithms.triangles import triangle_count, triangles_per_vertex
+
+__all__ = [
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "triangles_per_vertex",
+]

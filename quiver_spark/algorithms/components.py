@@ -1,0 +1,127 @@
+"""Connected components: HashMin label propagation with a
+large-star/small-star fallback for deep graphs.
+
+Composition of quiver primitives: components = the partition induced
+by undirected reachability [pub: Verizon/quiver core/src/main/scala/
+quiver/Graph.scala#reachable over #undir]; re-expressed as the
+classic distributed HashMin fixpoint — each vertex repeatedly adopts
+the minimum component id among itself and its neighbors. Exact
+deterministic output: component id = min vertex id in the component
+(BASELINE.md exactness row).
+
+Rounds needed = graph diameter; power-law link graphs have tiny
+diameters so HashMin is the right default. For pathological chains
+(diameter ≫ 50) ``algorithm="two_phase"`` runs alternating
+large-star/small-star pointer-doubling (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — converges in
+O(log^2 n) rounds regardless of diameter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quiver_spark.graph import Graph
+from quiver_spark.superstep import SuperstepRunner, SuperstepResult
+
+
+def _undirected_pairs(graph: Graph) -> DataFrame:
+    return (
+        graph.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(graph.edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .dropDuplicates()
+    )
+
+
+def connected_components(
+    graph: Graph,
+    max_iters: int = 50,
+    algorithm: str = "hashmin",
+    runner: SuperstepRunner | None = None,
+) -> SuperstepResult:
+    """Returns SuperstepResult with state ``(id, component)``."""
+    if algorithm == "two_phase":
+        return _two_phase_cc(graph, max_iters=max_iters, runner=runner)
+    spark = graph.spark
+    runner = runner or SuperstepRunner(spark)
+    und = _undirected_pairs(graph).persist()
+    und.count()
+    state0 = graph.vertices.select("id", F.col("id").alias("component"))
+
+    def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
+        nbr_min = (
+            und.join(state.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_state = (
+            state.join(nbr_min, "id", "left")
+            .select("id", F.least(F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))).alias("component"))
+        )
+        new_state = new_state.localCheckpoint()
+        changed = (
+            new_state.join(state.select("id", F.col("component").alias("_old")), "id")
+            .filter(F.col("component") != F.col("_old"))
+            .count()
+        )
+        return new_state, float(changed)
+
+    try:
+        # delta = #vertices that changed component; fixpoint at 0
+        return runner.run(state0, step, tol=0.0, max_iters=max_iters)
+    finally:
+        und.unpersist()
+
+
+def _two_phase_cc(graph: Graph, max_iters: int, runner: SuperstepRunner | None) -> SuperstepResult:
+    """Alternating large-star / small-star (Kiveris SoCC'14).
+
+    State is the parent-pointer forest as an edge list ``(u, p)``;
+    large-star hooks every neighbor larger than the minimum onto the
+    minimum, small-star hooks the small side. Converges when the
+    pointer table stops changing; final components read off the
+    star roots.
+    """
+    spark = graph.spark
+    runner = runner or SuperstepRunner(spark)
+    # initial parent table: each vertex points at min(self, neighbors)
+    und = _undirected_pairs(graph)
+    pairs = und.unionByName(graph.vertices.select(F.col("id").alias("u"), F.col("id").alias("v"))).dropDuplicates()
+    state0 = pairs.groupBy(F.col("u").alias("id")).agg(F.least(F.min("v"), F.first("u")).alias("parent"))
+
+    def _star(state: DataFrame, large: bool) -> DataFrame:
+        # edges (u,v) with current parents substituted, then hook
+        p = state.withColumnRenamed("id", "u").withColumnRenamed("parent", "pu")
+        q = state.withColumnRenamed("id", "v").withColumnRenamed("parent", "pv")
+        e = und.join(p, "u").join(q, "v")
+        if large:
+            # large-star: for each u, all strictly-larger neighbors' parents hook to min parent
+            cand = e.select(F.col("u").alias("id"), F.least("pu", "pv").alias("cand")).filter(F.col("cand").isNotNull())
+        else:
+            cand = e.select(F.col("pu").alias("id"), F.least("pu", "pv").alias("cand"))
+        hooks = cand.groupBy("id").agg(F.min("cand").alias("hook"))
+        return (
+            state.join(hooks, "id", "left")
+            .select("id", F.least(F.col("parent"), F.coalesce(F.col("hook"), F.col("parent"))).alias("parent"))
+        )
+
+    def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
+        s = _star(state, large=(k % 2 == 0))
+        # pointer doubling: parent ← parent's parent
+        gp = s.select(F.col("id").alias("parent"), F.col("parent").alias("gparent"))
+        s = (
+            s.join(gp, "parent", "left")
+            .select("id", F.coalesce(F.col("gparent"), F.col("parent")).alias("parent"))
+        )
+        s = s.localCheckpoint()
+        changed = (
+            s.join(state.select("id", F.col("parent").alias("_old")), "id")
+            .filter(F.col("parent") != F.col("_old"))
+            .count()
+        )
+        return s, float(changed)
+
+    res = runner.run(state0, step, tol=0.0, max_iters=max_iters)
+    res.state = res.state.withColumnRenamed("parent", "component")
+    return res

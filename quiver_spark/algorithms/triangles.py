@@ -1,0 +1,82 @@
+"""Exact triangle counting with degree-based edge orientation.
+
+North-rule flagship (BASELINE.json:14); not a quiver symbol — in
+quiver a triangle is three mutual ``Context`` memberships
+[pub: Verizon/quiver core/src/main/scala/quiver/package.scala#Context].
+
+Semantics: triangles of the *underlying simple undirected graph* —
+edge direction and parallel labeled edges collapse first (standard
+graph-mining convention; multiplicities would double-count the same
+topological triangle).
+
+Scale design — the classic compact-forward / degree-orientation
+trick: orient every undirected edge from the endpoint with smaller
+(degree, id) to the larger. The oriented graph is a DAG where every
+vertex's out-degree is O(sqrt(m)) on any graph, so the wedge join
+``E ⋈ E`` is bounded even under power-law skew — THE defense against
+a hub vertex generating deg² wedges. Count = wedges that close with
+an oriented edge (left-semi join, no row explosion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quiver_spark.graph import Graph
+
+
+def _oriented_edges(graph: Graph) -> DataFrame:
+    """Undirected simple edges oriented by (degree, id) order."""
+    und = (
+        graph.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))  # self-loops never close triangles
+        .unionByName(graph.edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .dropDuplicates()
+        .filter(F.col("a") < F.col("b"))  # canonical undirected pair
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    e = und.join(da, "a").join(db, "b")
+    # orient low (deg, id) → high (deg, id)
+    fwd = e.filter(
+        (F.col("deg_a") < F.col("deg_b")) | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+    bwd = e.filter(
+        (F.col("deg_b") < F.col("deg_a")) | ((F.col("deg_a") == F.col("deg_b")) & (F.col("b") < F.col("a")))
+    ).select(F.col("b").alias("u"), F.col("a").alias("v"))
+    return fwd.unionByName(bwd)
+
+
+def _triangle_triples(graph: Graph) -> DataFrame:
+    """One row per triangle: (x, y, z) vertex ids, each triangle once."""
+    o = _oriented_edges(graph).persist()
+    e1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    wedges = e1.join(e2, "y")
+    closing = o.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    return wedges.join(closing, ["x", "z"], "left_semi").select("x", "y", "z")
+
+
+def triangle_count(graph: Graph) -> int:
+    """Exact global triangle count."""
+    return _triangle_triples(graph).count()
+
+
+def triangles_per_vertex(graph: Graph) -> DataFrame:
+    """(id, triangles) for every vertex (0 for none)."""
+    t = _triangle_triples(graph)
+    per = (
+        t.select(F.col("x").alias("id"))
+        .unionByName(t.select(F.col("y").alias("id")))
+        .unionByName(t.select(F.col("z").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return graph.vertices.select("id").join(per, "id", "left").fillna(0, ["triangles"])

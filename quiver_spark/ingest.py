@@ -1,0 +1,334 @@
+"""Source-repo table synthesis + repo→link-graph ingest.
+
+Input shape is mandated by BASELINE.json:15: an Iceberg/Parquet table
+``(repo:string, path:string, commit:string, lang:string,
+content:string)``. No external data exists in this sandbox, so
+:func:`synthesize_repo_table` generates it **deterministically**:
+every column is a pure function of the row index (split-mix style
+avalanche hashing), so the same (n_files, seed) produces identical
+bytes at any partitioning, any parallelism, any scale factor.
+
+The generated corpus is adversarial on purpose (FIXTURES.md §A):
+
+- power-law repo sizes and directory fanout (hot dirs = super-node
+  ``contains`` sources),
+- power-law import popularity (low file ids are imported by many
+  files = super-node ``imports`` targets — the skew PageRank's
+  salted aggregation is for),
+- ~15% of rows are a second commit of the previous row's file: same
+  (repo, path), different commit + content → **parallel labeled
+  edges**, the quiver ``Set[B]`` multigraph semantics end-to-end.
+
+Ingest (:func:`ingest`) derives:
+
+- ``vertices(id, repo, path, lang, content_sha)`` — one per distinct
+  file (repo, path), ``id = xxhash64(repo, path)``, labels
+  first-class (BASELINE.json:6); dir vertices carry lang=NULL.
+- ``edges(src, dst, etype, commit)`` — ``contains`` (parent dir →
+  child, per directory level) and ``imports`` (file → file, one per
+  import statement per commit). Edge identity = all four columns.
+
+The per-row ``sha256(content)`` invariant (BASELINE.json:15) is
+computed with Spark's built-in ``sha2`` at ingest and re-checked by
+:func:`verify_content_sha` (and by the pytest suite) against an
+independent pandas/hashlib recomputation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from quiver_spark.graph import Graph
+
+_LANGS = np.array(["py", "scala", "java", "go", "md"])
+_EXTS = {"py": "py", "scala": "scala", "java": "java", "go": "go", "md": "md"}
+
+REPO_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ]
+)
+
+
+def _mix(x: np.ndarray, salt: int) -> np.ndarray:
+    """SplitMix64 avalanche — vectorized deterministic uint64 hash."""
+    z = (x.astype(np.uint64) + np.uint64(salt) * np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _unit(x: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic uniform [0,1) per row index."""
+    return _mix(x, salt).astype(np.float64) / float(2**64)
+
+
+def _row_fields(idx: np.ndarray, n_files: int, n_repos: int, seed: int):
+    """Vectorized (repo, path, lang) for file indices — pure function,
+    reused by the duplicate-commit branch to copy the previous row."""
+    base = idx + np.uint64(seed) * np.uint64(1_000_003)
+    # quadratic skew → few large repos
+    repo_idx = (n_repos * _unit(base, 1) ** 2).astype(np.int64)
+    repo = np.char.add("repo_", np.char.zfill(repo_idx.astype(str), 4))
+    lang = _LANGS[(_unit(base, 2) * len(_LANGS)).astype(np.int64)]
+    depth = 1 + (_unit(base, 3) * 4).astype(np.int64)  # 1..4 dirs
+    # cubic skew per level → hot directories
+    parts = []
+    for lvl in range(4):
+        d = (10 * _unit(base, 10 + lvl) ** 3).astype(np.int64)
+        parts.append(np.where(lvl < depth, np.char.add(f"d{lvl}_", d.astype(str)), ""))
+    exts = np.array([_EXTS[l] for l in lang])
+    fname = np.char.add(np.char.add("f", idx.astype(str)), np.char.add(".", exts))
+    path = parts[0]
+    for p in parts[1:]:
+        path = np.where(p == "", path, np.char.add(np.char.add(path, "/"), p))
+    path = np.char.add(np.char.add(path, "/"), fname)
+    return repo, path, lang, repo_idx
+
+
+def synthesize_repo_table(
+    spark: SparkSession,
+    n_files: int = 10_000,
+    n_repos: int = 50,
+    seed: int = 42,
+    max_imports: int = 6,
+    dup_commit_frac: float = 0.15,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic repo table (see module docstring)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            idx = pdf["id"].to_numpy(dtype=np.uint64)
+            base = idx + np.uint64(seed) * np.uint64(1_000_003)
+            repo, path, lang, _ = _row_fields(idx, n_files, n_repos, seed)
+
+            # ~dup_commit_frac of rows are a 2nd commit of row idx-1
+            is_dup = (_unit(base, 4) < dup_commit_frac) & (idx > 0)
+            pidx = np.where(is_dup, idx - 1, idx).astype(np.uint64)
+            prepo, ppath, plang, _ = _row_fields(pidx, n_files, n_repos, seed)
+            repo = np.where(is_dup, prepo, repo)
+            path = np.where(is_dup, ppath, path)
+            lang = np.where(is_dup, plang, lang)
+            commit_no = np.where(is_dup, 1, 0)
+            commit = np.array(
+                [f"{_mix(np.array([p], dtype=np.uint64), 77 + c)[0]:016x}" for p, c in zip(pidx, commit_no)]
+            )
+
+            # imports: power-law target popularity (cube of a uniform
+            # keeps most probability mass on low file ids)
+            n_imp = (_unit(base, 5) * (max_imports + 1)).astype(np.int64)
+            contents = []
+            for i, fid in enumerate(pidx):
+                lines = [f"// {repo[i]}/{path[i]} @ {commit[i]}"]
+                for j in range(int(n_imp[i])):
+                    t = int(n_files * _unit(np.array([fid], dtype=np.uint64), 100 + j)[0] ** 3)
+                    if t == int(fid):
+                        t = (t + 1) % n_files
+                    trepo, tpath, _, _ = _row_fields(np.array([t], dtype=np.uint64), n_files, n_repos, seed)
+                    stem = tpath[0].rsplit("/", 1)[-1].split(".")[0]
+                    lines.append(f"import {trepo[0]}/{stem}")
+                filler = _mix(np.array([fid], dtype=np.uint64), 999 + int(commit_no[i]))[0]
+                lines.append(f"def body_{filler:016x}(): pass")
+                contents.append("\n".join(lines))
+
+            yield pd.DataFrame(
+                {
+                    "repo": repo,
+                    "path": path,
+                    "commit": commit,
+                    "lang": lang,
+                    "content": contents,
+                }
+            )
+
+    num_partitions = num_partitions or max(8, spark.sparkContext.defaultParallelism)
+    return spark.range(0, n_files, numPartitions=num_partitions).mapInPandas(gen, REPO_SCHEMA)
+
+
+def synthesize_powerlaw_edges(
+    spark: SparkSession,
+    n_vertices: int,
+    n_edges: int,
+    seed: int = 42,
+    zipf_exp: float = 3.0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pure edge-table generator for scale benchmarks: deterministic
+    seeded power-law (dst popularity ∝ u^zipf_exp pushes mass onto low
+    ids → super-node in-degree skew), fully vectorized numpy — no
+    content synthesis, so tens of millions of edges generate in
+    seconds. Returns ``(src, dst, etype)``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            idx = pdf["id"].to_numpy(dtype=np.uint64) + np.uint64(seed) * np.uint64(7_777_777)
+            src = (_unit(idx, 1) * n_vertices).astype(np.int64)
+            dst = (n_vertices * _unit(idx, 2) ** zipf_exp).astype(np.int64)
+            dst = np.where(dst == src, (dst + 1) % n_vertices, dst)
+            yield pd.DataFrame({"src": src, "dst": dst, "etype": "link"})
+
+    num_partitions = num_partitions or max(8, spark.sparkContext.defaultParallelism)
+    return spark.range(0, n_edges, numPartitions=num_partitions).mapInPandas(
+        gen, "src long, dst long, etype string"
+    )
+
+
+# ----------------------------------------------------------------- ingest
+_IMPORT_RE = r"import (repo_\d{4})/(f\d+)"
+
+
+def file_vertices(repos: DataFrame) -> DataFrame:
+    """One vertex per distinct (repo, path): id, labels, content sha of
+    the newest commit (max commit hex as tie-break)."""
+    sha = repos.withColumn("content_sha", F.sha2("content", 256))
+    newest = (
+        sha.groupBy("repo", "path")
+        .agg(F.max(F.struct(F.col("commit"), F.col("lang"), F.col("content_sha"))).alias("m"))
+        .select(
+            F.xxhash64("repo", "path").alias("id"),
+            "repo",
+            "path",
+            F.col("m.lang").alias("lang"),
+            F.col("m.content_sha").alias("content_sha"),
+        )
+    )
+    return newest
+
+
+def dir_vertices(repos: DataFrame) -> DataFrame:
+    """One vertex per distinct (repo, dir prefix); lang/content NULL."""
+    files = repos.select("repo", "path").dropDuplicates()
+    # explode every proper prefix of the dir chain
+    segs = files.withColumn("parts", F.split("path", "/"))
+    prefixes = segs.select(
+        "repo",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("parts") - 1),
+                lambda i: F.array_join(F.slice("parts", F.lit(1), i), "/"),
+            )
+        ).alias("path"),
+    ).dropDuplicates()
+    return prefixes.select(
+        F.xxhash64("repo", "path").alias("id"),
+        "repo",
+        "path",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("content_sha"),
+    )
+
+
+def contains_edges(repos: DataFrame) -> DataFrame:
+    """dir→child edges: every adjacent (prefix, longer-prefix) pair of
+    each path, plus dir→file. etype=contains, commit NULL (structure,
+    not a commit-scoped fact)."""
+    files = repos.select("repo", "path").dropDuplicates()
+    segs = files.withColumn("parts", F.split("path", "/"))
+    pairs = segs.select(
+        "repo",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("parts") - 1),
+                lambda i: F.struct(
+                    F.array_join(F.slice("parts", F.lit(1), i), "/").alias("parent"),
+                    F.array_join(F.slice("parts", F.lit(1), i + 1), "/").alias("child"),
+                ),
+            )
+        ).alias("pc"),
+    ).select("repo", "pc.parent", "pc.child").dropDuplicates()
+    return pairs.select(
+        F.xxhash64("repo", "parent").alias("src"),
+        F.xxhash64("repo", "child").alias("dst"),
+        F.lit("contains").alias("etype"),
+        F.lit(None).cast("string").alias("commit"),
+    ).dropDuplicates()
+
+
+@F.pandas_udf(T.ArrayType(T.StructType([T.StructField("trepo", T.StringType()), T.StructField("tstem", T.StringType())])))
+def _extract_imports(content: pd.Series) -> pd.Series:
+    """Vectorized import extraction (the only Python in the ingest
+    path — Arrow-batched pandas UDF per BASELINE.json:15)."""
+    import re
+
+    rx = re.compile(_IMPORT_RE)
+    return content.map(lambda c: [{"trepo": m[0], "tstem": m[1]} for m in rx.findall(c or "")])
+
+
+def imports_edges(repos: DataFrame) -> DataFrame:
+    """file→file edges, one per import statement per commit: parallel
+    labeled edges across commits survive (multigraph Set[B])."""
+    hits = (
+        repos.select("repo", "path", "commit", _extract_imports("content").alias("imps"))
+        .withColumn("imp", F.explode("imps"))
+        .select(
+            F.xxhash64("repo", "path").alias("src"),
+            F.col("imp.trepo").alias("trepo"),
+            F.col("imp.tstem").alias("tstem"),
+            "commit",
+        )
+    )
+    # resolve targets: join on (repo, file stem)
+    targets = (
+        repos.select("repo", "path")
+        .dropDuplicates()
+        .select(
+            F.col("repo").alias("trepo"),
+            F.regexp_extract(F.element_at(F.split("path", "/"), -1), r"^(f\d+)\.", 1).alias("tstem"),
+            F.xxhash64("repo", "path").alias("dst"),
+        )
+    )
+    return (
+        hits.join(targets, ["trepo", "tstem"])  # unresolved imports drop (safe ingest)
+        .select("src", "dst", F.lit("imports").alias("etype"), "commit")
+        .dropDuplicates(["src", "dst", "etype", "commit"])
+    )
+
+
+def ingest(repos: DataFrame) -> Graph:
+    """Full repo table → link graph (vertices ∪ dirs, contains ∪ imports)."""
+    v = file_vertices(repos).unionByName(dir_vertices(repos)).dropDuplicates(["id"])
+    e = contains_edges(repos).unionByName(imports_edges(repos))
+    return Graph.safe_mk_graph(v, e)
+
+
+def verify_content_sha(repos: DataFrame, vertices: DataFrame) -> int:
+    """Per-row invariant (BASELINE.json:15): every file vertex's
+    content_sha equals an independent recomputation from the source
+    rows. Returns the number of mismatching vertices (0 = pass)."""
+
+    def recompute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "repo": pdf["repo"],
+                    "path": pdf["path"],
+                    "commit": pdf["commit"],
+                    "sha_py": [hashlib.sha256(c.encode()).hexdigest() for c in pdf["content"]],
+                }
+            )
+
+    ref = repos.mapInPandas(recompute, "repo string, path string, commit string, sha_py string")
+    newest = (
+        ref.groupBy("repo", "path")
+        .agg(F.max(F.struct("commit", "sha_py")).alias("m"))
+        .select("repo", "path", F.col("m.sha_py").alias("sha_py"))
+    )
+    files = vertices.filter(F.col("content_sha").isNotNull())
+    return (
+        files.join(newest, ["repo", "path"], "left")
+        .filter((F.col("sha_py").isNull()) | (F.col("sha_py") != F.col("content_sha")))
+        .count()
+    )

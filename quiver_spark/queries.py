@@ -1,0 +1,372 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry in :data:`QUERIES` is ``name -> fn(spark, sf_dir) ->
+DataFrame``; :data:`ORACLES` holds the ANSI-SQL equivalent DuckDB
+runs on the same parquet (pre-registered views: region nation
+customer supplier part orders lineitem events documents embeddings).
+Column names and types are aligned on both sides (the driver's
+compare hashes values under sorted column names).
+
+Oracle techniques (SURVEY.md §3.3):
+- traversals → ``WITH RECURSIVE`` (closure / level walks; the
+  hierarchy graph is a DAG so UNION ALL walks terminate),
+- connected components → recursive closure + min,
+- fixed-iteration PageRank / label propagation → **unrolled CTE
+  chains** generated programmatically (identical superstep algebra
+  in both engines; ranks compared as ``floor(rank*1e9 + 0.5)``
+  integers so double summation-order noise can't flip the hash),
+- repo-graph queries have no DuckDB view → registered without an
+  oracle (driver records the weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quiver_spark import ingest as ing
+from quiver_spark import tpch_graphs as tg
+from quiver_spark import traverse
+from quiver_spark.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+)
+from quiver_spark.algorithms.triangles import _triangle_triples, triangles_per_vertex
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB side)
+# ---------------------------------------------------------------------------
+_HIER_V = """
+v(id, kind) AS MATERIALIZED (
+  SELECT CAST(1000000 + r_regionkey AS BIGINT), 'region' FROM region
+  UNION ALL SELECT CAST(2000000 + n_nationkey AS BIGINT), 'nation' FROM nation
+  UNION ALL SELECT CAST(3000000 + c_custkey AS BIGINT), 'customer' FROM customer
+  UNION ALL SELECT CAST(4000000 + s_suppkey AS BIGINT), 'supplier' FROM supplier
+)"""
+
+_HIER_E = """
+e(src, dst) AS MATERIALIZED (
+  SELECT CAST(2000000 + n_nationkey AS BIGINT), CAST(1000000 + n_regionkey AS BIGINT) FROM nation
+  UNION ALL SELECT CAST(3000000 + c_custkey AS BIGINT), CAST(2000000 + c_nationkey AS BIGINT) FROM customer
+  UNION ALL SELECT CAST(4000000 + s_suppkey AS BIGINT), CAST(2000000 + s_nationkey AS BIGINT) FROM supplier
+)"""
+
+_COPART_E = """
+sp AS MATERIALIZED (SELECT DISTINCT l_partkey AS p, CAST(4000000 + l_suppkey AS BIGINT) AS s FROM lineitem),
+e(src, dst) AS MATERIALIZED (SELECT DISTINCT a.s, b.s FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s)"""
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+def q_nation_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tg.hierarchy_graph(spark, sf_dir)
+    return (
+        g.in_degrees()
+        .join(g.vertices.filter(F.col("kind") == "nation").select("id"), "id", "left_semi")
+        .select("id", F.col("in_degree").cast("long").alias("in_degree"))
+    )
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tg.hierarchy_graph(spark, sf_dir)
+    return (
+        g.in_degrees()
+        .groupBy(F.col("in_degree").cast("long").alias("in_degree"))
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+def q_roots_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tg.hierarchy_graph(spark, sf_dir)
+    roots, leaves = g.roots().count(), g.leaves().count()
+    return spark.createDataFrame([(roots, leaves)], "n_roots long, n_leaves long")
+
+
+def q_reachable_from_region0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tg.hierarchy_graph(spark, sf_dir)
+    return traverse.reachable(g, 1_000_000, direction="in")
+
+
+def q_bfs_levels_region0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tg.hierarchy_graph(spark, sf_dir)
+    return traverse.bfs(g, [1_000_000], direction="in").select(
+        "id", F.col("level").cast("long").alias("level")
+    )
+
+
+def q_cc_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tg.admin_graph(spark, sf_dir)
+    return connected_components(g).state.select("id", "component")
+
+
+def q_triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tg.supplier_copart_graph(spark, sf_dir)
+    return _triangle_triples(g).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def q_triangles_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tg.supplier_copart_graph(spark, sf_dir)
+    return triangles_per_vertex(g).select("id", F.col("triangles").cast("long").alias("triangles"))
+
+
+PR_ITERS = 10
+PR_DAMPING = 0.85
+
+
+def q_pagerank_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tg.hierarchy_graph(spark, sf_dir)
+    res = pagerank(g, damping=PR_DAMPING, num_iters=PR_ITERS)
+    return res.state.select(
+        "id", F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("long").alias("rank_e9")
+    )
+
+
+LP_ROUNDS = 2
+
+
+def q_labelprop_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tg.hierarchy_graph(spark, sf_dir).labfilter(F.col("kind").isin("nation", "customer"))
+    res = label_propagation(g, label_col="name", num_iters=LP_ROUNDS, direction="both")
+    return res.state.select("id", "label")
+
+
+def q_multigraph_edge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.lit(tg.S) + F.col("l_suppkey")).cast("long").alias("dst"),
+        F.lit("supplies").alias("etype"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(edges)
+    return g.edges.agg(F.count(F.lit(1)).alias("n_edges"))
+
+
+def q_cheapest_path_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tg.weighted_hierarchy_edges(spark, sf_dir)
+    seeds = g.vertices.filter(F.col("kind") == "customer").select("id")
+    out = traverse.cheapest_path_costs(g, seeds, cost_col="weight")
+    return out.select("id", F.col("cost").cast("long").alias("cost"), "parent")
+
+
+# ----------------------------------------------------- repo-graph queries
+# (no DuckDB view of the synthetic repo table → rows-only checks)
+def _repo_n_files(sf_dir: str) -> int:
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.01
+    return max(1000, int(sf * 500_000))
+
+
+def q_repo_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    repos = ing.synthesize_repo_table(spark, n_files=_repo_n_files(sf_dir), n_repos=50, seed=42)
+    g = ing.ingest(repos)
+    res = pagerank(g, num_iters=5)
+    return (
+        res.state.join(g.vertices.select("id", "repo", "path"), "id")
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(100)
+        .select("id", "repo", "path", F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("long").alias("rank_e9"))
+    )
+
+
+def q_repo_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    repos = ing.synthesize_repo_table(spark, n_files=_repo_n_files(sf_dir), n_repos=50, seed=42)
+    g = ing.ingest(repos)
+    res = connected_components(g)
+    return res.state.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+def _pagerank_oracle_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    """Unrolled fixed-iteration PageRank over the hierarchy graph —
+    same algebra as quiver_spark.algorithms.pagerank (uniform init,
+    per-edge 1/outdeg weights, dangling mass redistributed uniformly)."""
+    parts = [
+        f"WITH {_HIER_V.strip()}, {_HIER_E.strip()},",
+        "od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),",
+        "r0 AS (SELECT v.id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM v CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        parts.append(
+            f""", r{k} AS (
+  SELECT v.id,
+         (CAST({1.0 - d} AS DOUBLE) / nn.n)
+         + CAST({d} AS DOUBLE) * (COALESCE(m.s, CAST(0 AS DOUBLE)) + dang.dm / nn.n) AS rank
+  FROM v
+  CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(SUM(p.rank), CAST(0 AS DOUBLE)) AS dm
+              FROM {p} p LEFT JOIN od ON od.src = p.id
+              WHERE od.src IS NULL) dang
+  LEFT JOIN (SELECT e.dst, SUM(p.rank / od.od) AS s
+             FROM e JOIN {p} p ON p.id = e.src JOIN od ON od.src = e.src
+             GROUP BY e.dst) m ON m.dst = v.id
+)"""
+        )
+    parts.append(
+        f"\nSELECT id, CAST(floor(rank * 1e9 + 0.5) AS BIGINT) AS rank_e9 FROM r{iters}"
+    )
+    return "\n".join(parts)
+
+
+def _labelprop_oracle_sql(rounds: int = LP_ROUNDS) -> str:
+    """Unrolled synchronous label propagation on the customer↔nation
+    graph; argmax with min-label tie-break, isolated keep seed."""
+    parts = [
+        """WITH v(id, label) AS (
+  SELECT CAST(2000000 + n_nationkey AS BIGINT), n_name FROM nation
+  UNION ALL SELECT CAST(3000000 + c_custkey AS BIGINT), c_mktsegment FROM customer
+),
+e(src, dst) AS (
+  SELECT CAST(3000000 + c_custkey AS BIGINT), CAST(2000000 + c_nationkey AS BIGINT) FROM customer
+),
+und(u, w) AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+it0 AS (SELECT id, label FROM v)""",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"it{k - 1}"
+        parts.append(
+            f""", hist{k} AS (
+  SELECT und.w AS id, p.label, count(*) AS cnt
+  FROM und JOIN {p} p ON p.id = und.u GROUP BY und.w, p.label
+), best{k} AS (
+  SELECT h.id, MIN(h.label) AS new_label
+  FROM hist{k} h JOIN (SELECT id, MAX(cnt) AS mc FROM hist{k} GROUP BY id) m
+    ON m.id = h.id AND h.cnt = m.mc
+  GROUP BY h.id
+), it{k} AS (
+  SELECT p.id, COALESCE(b.new_label, p.label) AS label
+  FROM {p} p LEFT JOIN best{k} b ON b.id = p.id
+)"""
+        )
+    parts.append(f"\nSELECT id, label FROM it{rounds}")
+    return "\n".join(parts)
+
+
+ORACLES: dict[str, str] = {
+    "nation_in_degree": f"""
+WITH {_HIER_V.strip()}, {_HIER_E.strip()}
+SELECT v.id, CAST(count(e.src) AS BIGINT) AS in_degree
+FROM v LEFT JOIN e ON e.dst = v.id
+WHERE v.kind = 'nation'
+GROUP BY v.id
+""",
+    "degree_histogram": f"""
+WITH {_HIER_V.strip()}, {_HIER_E.strip()},
+deg AS (
+  SELECT v.id, CAST(count(e.src) AS BIGINT) AS in_degree
+  FROM v LEFT JOIN e ON e.dst = v.id GROUP BY v.id
+)
+SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vertices FROM deg GROUP BY in_degree
+""",
+    "roots_leaves": f"""
+WITH {_HIER_V.strip()}, {_HIER_E.strip()}
+SELECT
+  CAST((SELECT count(*) FROM v WHERE v.id NOT IN (SELECT dst FROM e)) AS BIGINT) AS n_roots,
+  CAST((SELECT count(*) FROM v WHERE v.id NOT IN (SELECT src FROM e)) AS BIGINT) AS n_leaves
+""",
+    "reachable_from_region0": f"""
+WITH RECURSIVE {_HIER_V.strip()}, {_HIER_E.strip()},
+reach(id) AS (
+  SELECT CAST(1000000 AS BIGINT)
+  UNION
+  SELECT e.src FROM e JOIN reach ON e.dst = reach.id
+)
+SELECT id FROM reach
+""",
+    "bfs_levels_region0": f"""
+WITH RECURSIVE {_HIER_V.strip()}, {_HIER_E.strip()},
+walk(id, level) AS (
+  SELECT CAST(1000000 AS BIGINT), 0
+  UNION ALL
+  SELECT e.src, walk.level + 1 FROM e JOIN walk ON e.dst = walk.id WHERE walk.level < 8
+)
+SELECT id, CAST(MIN(level) AS BIGINT) AS level FROM walk GROUP BY id
+""",
+    "cc_admin": f"""
+WITH RECURSIVE {_HIER_V.strip()}, {_HIER_E.strip()},
+av(id) AS (SELECT id FROM v WHERE kind IN ('region','nation','supplier')),
+ae(src, dst) AS (
+  SELECT e.src, e.dst FROM e
+  JOIN av a ON a.id = e.src JOIN av b ON b.id = e.dst
+),
+und(u, w) AS (SELECT src, dst FROM ae UNION SELECT dst, src FROM ae),
+reach(id, r) AS (
+  SELECT id, id FROM av
+  UNION
+  SELECT reach.id, und.w FROM reach JOIN und ON und.u = reach.r
+)
+SELECT id, MIN(r) AS component FROM reach GROUP BY id
+""",
+    "triangle_count_suppliers": f"""
+WITH {_COPART_E.strip()}
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+""",
+    "triangles_per_supplier": f"""
+WITH {_COPART_E.strip()},
+t AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+ids AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+cnt AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t
+  ) GROUP BY id
+)
+SELECT ids.id, COALESCE(cnt.triangles, 0) AS triangles
+FROM ids LEFT JOIN cnt ON cnt.id = ids.id
+""",
+    "pagerank_hierarchy": _pagerank_oracle_sql(),
+    "labelprop_nations": _labelprop_oracle_sql(),
+    "multigraph_edge_count": """
+SELECT CAST(count(*) AS BIGINT) AS n_edges FROM (
+  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+                  CAST(4000000 + l_suppkey AS BIGINT) AS dst,
+                  'supplies' AS etype, l_returnflag AS flag
+  FROM lineitem
+)
+""",
+    "cheapest_path_costs": f"""
+WITH RECURSIVE {_HIER_V.strip()}, {_HIER_E.strip()},
+we(src, dst, w) AS (SELECT src, dst, CAST((src + dst) % 7 + 1 AS BIGINT) FROM e),
+seeds(id) AS (SELECT id FROM v WHERE kind = 'customer'),
+walk(id, cost, parent) AS (
+  SELECT id, CAST(0 AS BIGINT), CAST(NULL AS BIGINT) FROM seeds
+  UNION ALL
+  SELECT we.dst, walk.cost + we.w, we.src FROM we JOIN walk ON we.src = walk.id
+),
+mincost AS (SELECT id, MIN(cost) AS cost FROM walk GROUP BY id)
+SELECT m.id, m.cost, MIN(w.parent) AS parent
+FROM mincost m JOIN walk w ON w.id = m.id AND w.cost = m.cost
+GROUP BY m.id, m.cost
+""",
+}
+
+QUERIES = {
+    "nation_in_degree": q_nation_in_degree,
+    "degree_histogram": q_degree_histogram,
+    "roots_leaves": q_roots_leaves,
+    "reachable_from_region0": q_reachable_from_region0,
+    "bfs_levels_region0": q_bfs_levels_region0,
+    "cc_admin": q_cc_admin,
+    "triangle_count_suppliers": q_triangle_count_suppliers,
+    "triangles_per_supplier": q_triangles_per_supplier,
+    "pagerank_hierarchy": q_pagerank_hierarchy,
+    "labelprop_nations": q_labelprop_nations,
+    "multigraph_edge_count": q_multigraph_edge_count,
+    "cheapest_path_costs": q_cheapest_path_costs,
+    # rows-only (no DuckDB view of the synthetic repo table)
+    "repo_pagerank_top": q_repo_pagerank_top,
+    "repo_components": q_repo_components,
+}

@@ -1,0 +1,269 @@
+"""Traversals: quiver's DFS/BFS family as iterative DataFrame programs.
+
+Reference semantics [pub: Verizon/quiver core/src/main/scala/quiver/
+Graph.scala#dfs/#xdfsWith/#bfs/#bft/#esp/#reachable/#dff]: quiver
+traverses by repeatedly *decomposing* the graph — the shrinking graph
+is the visited set. A distributed engine must not rewrite the big
+edge table every step (SURVEY.md §4.1), so the engine inverts the
+trick: the edge table is immutable and a small **frontier** DataFrame
+walks it, with an accumulated **visited** set applied as an anti-join.
+
+Every traversal below is the same loop:
+
+    frontier_{k+1} = E ⋈ frontier_k on the direction column,
+                     minus visited, deduped (min-parent tie-break)
+
+The frontier is explicitly ``broadcast()`` — it is small relative to
+E by definition of frontier expansion, and broadcasting turns the
+per-step join into a map-side hash join with **zero shuffle of the
+edge table** (E is read with src/dst pruned). ``localCheckpoint``
+every ``checkpoint_every`` steps truncates the exponentially-growing
+lineage (SURVEY.md §4.3).
+
+DFS *visit order* is inherently sequential; the engine reproduces
+sets / levels / parent trees at scale, and offers an exact-order
+``dfs_oracle`` that runs the whole (small) graph through one
+vectorized kernel partition for parity testing (SURVEY.md §7 hard
+part (b)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quiver_spark.graph import Graph, _ids_df
+
+# direction → which edge column the frontier matches / expands to
+_DIRS = {"out": ("src", "dst"), "in": ("dst", "src")}
+
+
+def _edges_for(graph: Graph, direction: str) -> DataFrame:
+    """Projected (from_col, to_col) pairs for a traversal direction.
+
+    'both' unions the two orientations — the traversal equivalent of
+    quiver's ``udfs`` over ``undir`` [pub: Graph.scala#udfs].
+    Parallel edges collapse: traversal only needs the pair set.
+    """
+    if direction == "both":
+        return (
+            graph.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .unionByName(graph.edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+            .dropDuplicates()
+        )
+    match_col, expand_col = _DIRS[direction]
+    return graph.edges.select(F.col(match_col).alias("u"), F.col(expand_col).alias("v")).dropDuplicates()
+
+
+def bfs(
+    graph: Graph,
+    seeds: Iterable[int] | DataFrame,
+    direction: str = "out",
+    max_depth: int | None = None,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Breadth-first levels + spanning-forest parents from seeds.
+
+    Returns ``(id, level, parent, root)`` — one row per reachable
+    vertex; seeds have level 0, parent = NULL, root = themselves.
+    Subsumes quiver ``bfs``/``bfsn``/``bft``/``lbft``/``dff``-shape
+    output [pub: Graph.scala#bfs/#bft/#dff]: breadth-first *order* is
+    (level, id); the parent pointers form a valid rooted spanning
+    forest with deterministic min-(parent) tie-breaks so results are
+    reproducible run-to-run (oracle-matchable).
+    """
+    spark = graph.spark
+    edges = _edges_for(graph, direction)
+    edges.persist()
+    try:
+        seed_df = _ids_df(spark, seeds)
+        frontier = seed_df.select(
+            "id",
+            F.lit(0).alias("level"),
+            F.lit(None).cast("long").alias("parent"),
+            F.col("id").alias("root"),
+        )
+        visited = frontier
+        level = 0
+        frontier = frontier.localCheckpoint()
+        visited = visited.localCheckpoint()
+        while True:
+            if max_depth is not None and level >= max_depth:
+                break
+            level += 1
+            nxt = (
+                edges.join(F.broadcast(frontier), edges["u"] == frontier["id"])
+                .select(
+                    F.col("v").alias("id"),
+                    F.lit(level).alias("level"),
+                    F.col("u").alias("parent"),
+                    F.col("root"),
+                )
+                .join(visited.select("id"), "id", "left_anti")
+                # deterministic tie-break: min (parent, root) per vertex
+                .groupBy("id", "level")
+                .agg(F.min(F.struct("parent", "root")).alias("pr"))
+                .select("id", "level", F.col("pr.parent").alias("parent"), F.col("pr.root").alias("root"))
+            )
+            nxt = nxt.localCheckpoint()  # also materializes for the count
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt)
+            if level % checkpoint_every == 0:
+                visited = visited.localCheckpoint()
+            frontier = nxt
+        return visited
+    finally:
+        edges.unpersist()
+
+
+def reachable(graph: Graph, v: int | Iterable[int] | DataFrame, direction: str = "out") -> DataFrame:
+    """All vertices reachable from v (including v) —
+    [pub: Graph.scala#reachable]. Returns (id)."""
+    seeds = [v] if isinstance(v, int) else v
+    return bfs(graph, seeds, direction=direction).select("id")
+
+
+def rdfs_set(graph: Graph, seeds: Iterable[int] | DataFrame) -> DataFrame:
+    """Reverse-reachable set — quiver ``rdfs`` as a set
+    [pub: Graph.scala#rdfs]."""
+    return bfs(graph, seeds, direction="in").select("id")
+
+
+def dff(graph: Graph, seeds: Iterable[int] | DataFrame | None = None, direction: str = "out") -> DataFrame:
+    """Spanning forest ``(id, parent, root, level)`` — quiver ``dff``
+    [pub: Graph.scala#dff]. With no seeds, all vertices seed (every
+    vertex lands in exactly one tree; min-root tie-break makes the
+    forest deterministic, though tree *shape* differs from Erwig's
+    sequential DFS forest — documented scale semantics)."""
+    if seeds is None:
+        seeds = graph.vertices.select("id")
+    out = bfs(graph, seeds, direction=direction)
+    # a vertex reached from several seeds keeps its first (min-level,
+    # then min root) discovery — bfs already guarantees single row per id
+    return out.select("id", "parent", "root", "level")
+
+
+def esp(graph: Graph, s: int, t: int, direction: str = "out", max_depth: int | None = None) -> list[int]:
+    """Hop-count shortest path s→t as a vertex list (inclusive), or []
+    — quiver ``esp`` [pub: Graph.scala#esp]. BFS with parent pointers;
+    the backtrack walks the (small) visited table on the driver."""
+    visited = bfs(graph, [s], direction=direction, max_depth=max_depth)
+    rows = {r["id"]: r["parent"] for r in visited.collect()}
+    if t not in rows:
+        return []
+    path = [t]
+    while path[-1] != s:
+        path.append(rows[path[-1]])
+    return list(reversed(path))
+
+
+def lesp(graph: Graph, s: int, t: int) -> list[tuple[int, dict]]:
+    """Labeled shortest path [pub: Graph.scala#lesp]: (vertex, edge
+    labels taken to reach it); first vertex carries {}."""
+    path = esp(graph, s, t)
+    if not path:
+        return []
+    out: list[tuple[int, dict]] = [(path[0], {})]
+    for a, b in zip(path, path[1:]):
+        lbl_rows = graph.find_edges(a, b).limit(1).collect()
+        lbl = {k: v for k, v in lbl_rows[0].asDict().items() if k not in ("src", "dst")} if lbl_rows else {}
+        out.append((b, lbl))
+    return out
+
+
+def cheapest_path_costs(
+    graph: Graph,
+    seeds: Iterable[int] | DataFrame,
+    cost_col: str = "weight",
+    direction: str = "out",
+    max_iters: int = 100,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Min-cost distances from seeds — distributed Bellman-Ford
+    (quiver ``cheapestPath`` generalized to all targets
+    [pub: Graph.scala#cheapestPath]). Edge cost is an edge column;
+    returns ``(id, cost, parent)``. Iterates relaxation
+    ``dist' = min(dist, min over in-edges (dist[u] + w))`` to fixpoint.
+    """
+    match_col, expand_col = _DIRS[direction]
+    edges = graph.edges.select(
+        F.col(match_col).alias("u"), F.col(expand_col).alias("v"), F.col(cost_col).cast("double").alias("w")
+    )
+    edges.persist()
+    try:
+        dist = _ids_df(graph.spark, seeds).select(
+            "id", F.lit(0.0).alias("cost"), F.lit(None).cast("long").alias("parent")
+        )
+        dist = dist.localCheckpoint()
+        for it in range(1, max_iters + 1):
+            relaxed = (
+                edges.join(dist, edges["u"] == dist["id"])
+                .select(F.col("v").alias("id"), (F.col("cost") + F.col("w")).alias("cost"), F.col("u").alias("parent"))
+            )
+            new_dist = (
+                dist.unionByName(relaxed)
+                .groupBy("id")
+                .agg(F.min(F.struct("cost", "parent")).alias("cp"))
+                .select("id", F.col("cp.cost").alias("cost"), F.col("cp.parent").alias("parent"))
+            )
+            # materialize each round: the fixpoint check below reads it,
+            # and checkpointing truncates the k-deep join lineage
+            new_dist = new_dist.localCheckpoint()
+            # fixpoint: any vertex improved?
+            prev = dist.select("id", F.col("cost").alias("_prev_cost"))
+            changed = (
+                new_dist.join(prev, "id", "left")
+                .filter(F.col("_prev_cost").isNull() | (F.col("cost") < F.col("_prev_cost")))
+                .limit(1)
+                .count()
+            )
+            dist = new_dist
+            if changed == 0:
+                break
+        return dist
+    finally:
+        edges.unpersist()
+
+
+def dfs_oracle(graph: Graph, seeds: list[int], direction: str = "out") -> list[int]:
+    """Exact Erwig DFS visit order [pub: Graph.scala#dfs → #xdfsWith]:
+    pop work-stack head, visit, *prepend* successors (in adjacency
+    order = sorted neighbor id for determinism), recurse.
+
+    Runs the whole graph through ONE vectorized kernel partition —
+    this is the small-scale parity oracle, not the scale path
+    (SURVEY.md §2.7); at scale expose ``reachable``/``dff``.
+    """
+    import pandas as pd  # noqa: F401 (kernel runs on executors)
+
+    edges = _edges_for(graph, direction).withColumn("_g", F.lit(0))
+    seeds_b = list(seeds)
+
+    def kernel(pdf):
+        adj: dict[int, list[int]] = {}
+        for u, v in zip(pdf["u"], pdf["v"]):
+            adj.setdefault(int(u), []).append(int(v))
+        for u in adj:
+            adj[u].sort()
+        seen: set[int] = set()
+        order: list[int] = []
+        stack = list(reversed(seeds_b))
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            order.append(x)
+            # prepend successors: push in reverse so smallest pops first
+            for nbr in reversed(adj.get(x, [])):
+                if nbr not in seen:
+                    stack.append(nbr)
+        import pandas as _pd
+
+        return _pd.DataFrame({"pos": range(len(order)), "id": order})
+
+    out = edges.groupBy("_g").applyInPandas(lambda pdf: kernel(pdf), "pos long, id long")
+    return [r["id"] for r in out.orderBy("pos").collect()]

@@ -1,0 +1,182 @@
+"""Flagship algorithm exactness oracles (FIXTURES.md §C, SURVEY.md §5):
+PageRank closed forms + conservation, CC planted components, LP
+planted labels, triangle counts on known graphs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from quiver_spark.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+    triangles_per_vertex,
+)
+from tests.conftest import build_graph
+
+
+# ---------------------------------------------------------------- PageRank
+def test_pagerank_uniform_on_symmetric(k3):
+    """Symmetric complete graph → uniform ranks = 1/n exactly."""
+    res = pagerank(k3, tol=1e-9, max_iters=50)
+    ranks = {r["id"]: r["rank"] for r in res.state.collect()}
+    for v in ranks.values():
+        assert math.isclose(v, 1 / 3, rel_tol=1e-6)
+    assert res.converged
+
+
+def test_pagerank_conservation_with_dangling(dangling_dag):
+    """Dangling mass redistributed → ranks sum to 1."""
+    res = pagerank(dangling_dag, tol=1e-8, max_iters=100)
+    total = res.state.agg(F.sum("rank")).collect()[0][0]
+    assert math.isclose(total, 1.0, rel_tol=1e-6)
+
+
+def test_pagerank_chain_ordering(chain5):
+    """On a chain, rank grows monotonically toward the sink."""
+    res = pagerank(chain5, tol=1e-8, max_iters=100)
+    ranks = {r["id"]: r["rank"] for r in res.state.collect()}
+    assert ranks[0] < ranks[1] < ranks[2] < ranks[3]
+    assert math.isclose(sum(ranks.values()), 1.0, rel_tol=1e-6)
+
+
+def test_pagerank_closed_form_star(star10):
+    """Hub→leaves star: leaf = (1-d)/n + d*(hub/10 + dangling_mass/n);
+    solve the 2-unknown linear system exactly and compare."""
+    d, n = 0.85, 11
+    # hub h gets only base + dangling share; leaves l get base + d*h/10 + share
+    # dangling mass = 10*l (all leaves are sinks)
+    # h = (1-d)/n + d*(10*l)/n ; l = (1-d)/n + d*h/10 + d*(10*l)/n
+    # fixed-point by hand (200 rounds, plain python)
+    h = l = 1 / n
+    for _ in range(200):
+        dm = 10 * l
+        h_new = (1 - d) / n + d * dm / n
+        l_new = (1 - d) / n + d * (h / 10) + d * dm / n
+        h, l = h_new, l_new
+    res = pagerank(star10, tol=1e-10, max_iters=200)
+    ranks = {r["id"]: r["rank"] for r in res.state.collect()}
+    assert math.isclose(ranks[0], h, rel_tol=1e-6)
+    for i in range(1, 11):
+        assert math.isclose(ranks[i], l, rel_tol=1e-6)
+
+
+def test_pagerank_fixed_iters_matches_tol_run(two_cliques_bridge):
+    """num_iters mode reproduces the same trajectory as tol mode."""
+    r1 = pagerank(two_cliques_bridge, num_iters=15)
+    r2 = pagerank(two_cliques_bridge, tol=None, max_iters=15)
+    a = {r["id"]: r["rank"] for r in r1.state.collect()}
+    b = {r["id"]: r["rank"] for r in r2.state.collect()}
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-12)
+
+
+def test_pagerank_salted_equals_unsalted(two_cliques_bridge):
+    """Skew-salting is a physical rewrite only — results identical."""
+    plain = pagerank(two_cliques_bridge, num_iters=10)
+    salted = pagerank(two_cliques_bridge, num_iters=10, n_salts=8)
+    a = {r["id"]: r["rank"] for r in plain.state.collect()}
+    b = {r["id"]: r["rank"] for r in salted.state.collect()}
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-9)
+
+
+def test_pagerank_multigraph_weighting(spark):
+    """Parallel labeled edges count as separate links: 0→1 twice and
+    0→2 once ⇒ vertex 1 gets 2/3 of 0's contribution."""
+    g = build_graph(
+        spark,
+        [(0, "a"), (1, "b"), (2, "c")],
+        [(0, 1, "x"), (0, 1, "y"), (0, 2, "x")],
+    )
+    res = pagerank(g, num_iters=1)
+    ranks = {r["id"]: r["rank"] for r in res.state.collect()}
+    d, n = 0.85, 3
+    dm = 2 / 3  # vertices 1,2 are dangling with rank 1/3 each
+    base = (1 - d) / n + d * dm / n
+    assert math.isclose(ranks[1], base + d * (1 / 3) * (2 / 3), rel_tol=1e-9)
+    assert math.isclose(ranks[2], base + d * (1 / 3) * (1 / 3), rel_tol=1e-9)
+
+
+# ------------------------------------------------- Connected components
+@pytest.mark.parametrize("algorithm", ["hashmin", "two_phase"])
+def test_cc_planted(planted_cc, algorithm):
+    res = connected_components(planted_cc, algorithm=algorithm)
+    comp = {r["id"]: r["component"] for r in res.state.collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 100: 100, 101: 100, 102: 100, 200: 200, 201: 200}
+
+
+def test_cc_bridge_cut(two_cliques_bridge):
+    whole = connected_components(two_cliques_bridge)
+    assert {r["component"] for r in whole.state.collect()} == {0}
+    cut = connected_components(two_cliques_bridge.efilter(F.col("etype") != "bridge"))
+    assert {r["component"] for r in cut.state.collect()} == {0, 10}
+
+
+def test_cc_directed_edges_treated_undirected(chain5):
+    res = connected_components(chain5)
+    assert {r["component"] for r in res.state.collect()} == {0}
+
+
+def test_cc_isolated_vertex(spark):
+    g = build_graph(spark, [(7, "iso"), (1, "a"), (2, "b")], [(1, 2, "e")])
+    comp = {r["id"]: r["component"] for r in connected_components(g).state.collect()}
+    assert comp == {7: 7, 1: 1, 2: 1}
+
+
+# ------------------------------------------------- Label propagation
+def test_lp_planted_labels(planted_labels):
+    res = label_propagation(planted_labels, label_col="lang", max_iters=10)
+    labels = {r["id"]: r["label"] for r in res.state.collect()}
+    assert all(labels[i] == "py" for i in range(5))
+    assert all(labels[i] == "go" for i in range(10, 15))
+
+
+def test_lp_tiebreak_deterministic(spark):
+    """Vertex 2 sees one 'a' and one 'b' neighbor → tie breaks to 'a'."""
+    V = spark.createDataFrame([(0, "a"), (1, "b"), (2, "z")], "id long, lang string")
+    E = spark.createDataFrame([(0, 2, "e"), (1, 2, "e")], "src long, dst long, etype string")
+    from quiver_spark.graph import Graph
+
+    g = Graph.mk_graph(V, E)
+    res = label_propagation(g, num_iters=1)
+    labels = {r["id"]: r["label"] for r in res.state.collect()}
+    assert labels[2] == "a"
+
+
+def test_lp_isolated_keeps_seed(spark):
+    V = spark.createDataFrame([(0, "solo"), (1, "x"), (2, "x")], "id long, lang string")
+    E = spark.createDataFrame([(1, 2, "e")], "src long, dst long, etype string")
+    from quiver_spark.graph import Graph
+
+    res = label_propagation(Graph.mk_graph(V, E), num_iters=3)
+    assert {r["id"]: r["label"] for r in res.state.collect()}[0] == "solo"
+
+
+# ------------------------------------------------- Triangles
+def test_triangles_known_counts(k3, k4, star10, chain5):
+    assert triangle_count(k3) == 1
+    assert triangle_count(k4) == 4
+    assert triangle_count(star10) == 0
+    assert triangle_count(chain5) == 0
+
+
+def test_triangles_per_vertex(k4, two_cliques_bridge):
+    per = {r["id"]: r["triangles"] for r in triangles_per_vertex(k4).collect()}
+    assert per == {0: 3, 1: 3, 2: 3, 3: 3}  # each K4 vertex in C(3,2)=3 triangles
+    per2 = {r["id"]: r["triangles"] for r in triangles_per_vertex(two_cliques_bridge).collect()}
+    assert all(per2[i] == 3 for i in per2)  # bridge adds no triangles
+
+
+def test_triangles_multigraph_and_selfloop_collapse(spark):
+    """Parallel edges / direction / self-loops don't inflate counts."""
+    g = build_graph(
+        spark,
+        [(0, "a"), (1, "b"), (2, "c")],
+        [(0, 1, "x"), (0, 1, "y"), (1, 0, "z"), (1, 2, "x"), (2, 0, "x"), (0, 0, "loop")],
+    )
+    assert triangle_count(g) == 1

@@ -1,0 +1,76 @@
+"""Superstep runtime: convergence, durable checkpoints + lineage,
+resume-equals-uninterrupted (BASELINE.md resumability row)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from quiver_spark.algorithms import pagerank
+from quiver_spark.superstep import SuperstepRunner
+
+
+def _doubling_step(state, k):
+    new = state.withColumn("x", F.col("x") * 2)
+    delta = 0.0 if k >= 4 else 1.0  # "converges" after 5 steps
+    return new, delta
+
+
+def test_runner_converges_and_records_metrics(spark, tmp_path):
+    run_dir = str(tmp_path / "run1")
+    r = SuperstepRunner(spark, run_dir=run_dir, checkpoint_every=2)
+    s0 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, x double")
+    res = r.run(s0, _doubling_step, tol=0.5, max_iters=50)
+    assert res.supersteps == 5 and res.converged
+    vals = {row["id"]: row["x"] for row in res.state.collect()}
+    assert vals == {1: 32.0, 2: 64.0}
+    # metrics.jsonl: one line per superstep with delta + wall_ms
+    lines = [json.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert [m["superstep"] for m in lines] == [0, 1, 2, 3, 4]
+    assert all("wall_ms" in m for m in lines)
+    # durable checkpoints at k=1,3 (every 2) and k=4 (converged)
+    assert r.last_completed() == 4
+    assert os.path.isdir(os.path.join(run_dir, "state_k=00001"))
+    # lineage table: per-partition rows + content hash
+    ldir = os.path.join(run_dir, "lineage_k=00004")
+    lineage = spark.read.parquet(ldir)
+    assert lineage.agg(F.sum("rows")).collect()[0][0] == 2
+    assert set(lineage.columns) == {"_pid", "rows", "content_hash_sum"}
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path, two_cliques_bridge):
+    """Kill after superstep 9, resume: final ranks identical to a
+    straight 20-superstep run (sha-equivalent rows)."""
+    # uninterrupted 20 fixed iters
+    full = pagerank(two_cliques_bridge, num_iters=20)
+    a = {r["id"]: round(r["rank"], 12) for r in full.state.collect()}
+
+    # phase 1: run only 10 supersteps with durable checkpoints
+    d = str(tmp_path / "resume_run")
+    r1 = SuperstepRunner(spark, run_dir=d, run_id="rr", checkpoint_every=5)
+    p1 = pagerank(two_cliques_bridge, num_iters=10, runner=r1)
+    assert r1.last_completed() == 9  # k=4 and k=9 durable
+
+    # phase 2: new runner on same dir resumes at k=10 and finishes
+    r2 = SuperstepRunner(spark, run_dir=d, run_id="rr2", checkpoint_every=5)
+    p2 = pagerank(two_cliques_bridge, num_iters=20, runner=r2)
+    assert p2.resumed_from == 9
+    b = {r["id"]: round(r["rank"], 12) for r in p2.state.collect()}
+    assert a == b
+
+
+def test_resume_ignores_unmarked_partial_state(spark, tmp_path):
+    """A state dir without its _DONE marker (crash mid-write) is not
+    resumed from."""
+    d = str(tmp_path / "crashy")
+    r = SuperstepRunner(spark, run_dir=d, checkpoint_every=1)
+    s0 = spark.createDataFrame([(1, 1.0)], "id long, x double")
+    r.run(s0, _doubling_step, tol=0.5, max_iters=3)
+    assert r.last_completed() == 2
+    # simulate a crash: k=3 state written but no marker
+    spark.createDataFrame([(1, 999.0)], "id long, x double").write.parquet(
+        os.path.join(d, "state_k=00003")
+    )
+    assert SuperstepRunner(spark, run_dir=d).last_completed() == 2
