@@ -55,12 +55,20 @@ def pagerank(
     num_iters: int | None = None,
     max_iters: int = 100,
     n_salts: int | None = None,
+    use_csr: bool = False,
+    n_blocks: int | None = None,
     runner: SuperstepRunner | None = None,
 ) -> SuperstepResult:
     """Returns a SuperstepResult whose state is ``(id, rank)``.
 
     ``num_iters`` set → exactly that many supersteps, no convergence
     action (oracle mode). Otherwise iterate until max |Δrank| ≤ tol.
+
+    ``use_csr=True`` runs each superstep's rank×edge combine through
+    partition-local CSR blocks (quiver_spark.csr) — the north-rule
+    scale path: the edge table is hash-blocked once, persisted, and
+    each superstep shuffles only the small rank state plus
+    pre-combined per-block (dst, partial) messages.
     """
     spark = graph.spark
     runner = runner or SuperstepRunner(spark)
@@ -81,6 +89,14 @@ def pagerank(
     edges_w.count()  # materialize before the loop
     dangling_ids = ids.join(out_deg.select("id"), "id", "left_anti").persist()
 
+    blocked = None
+    if use_csr:
+        from quiver_spark import csr
+
+        n_blocks = n_blocks or max(spark.sparkContext.defaultParallelism, 8)
+        blocked = csr.blocked_edges(edges_w, n_blocks)
+        blocked.count()
+
     base = (1.0 - damping) / n
     state0 = ids.select("id", F.lit(1.0 / n).alias("rank"))
     fixed = num_iters is not None
@@ -90,16 +106,21 @@ def pagerank(
         dangling_sum = (
             state.join(dangling_ids, "id", "left_semi").agg(F.sum("rank")).collect()[0][0] or 0.0
         )
-        contribs = edges_w.join(state.withColumnRenamed("id", "src"), "src").select(
-            "src", "dst", (F.col("rank") * F.col("w")).alias("c")
-        )
-        if n_salts and n_salts > 1:
-            # salt by src: rows of one hot dst spread across n_salts
-            # partial groups, so no single reducer key sees the full
-            # in-degree of a super-node
-            summed = _salted_sum(contribs, "dst", "c", "msum", n_salts, salt_src="src")
+        if blocked is not None:
+            from quiver_spark import csr
+
+            summed = csr.csr_contributions(blocked, state, n_blocks)
         else:
-            summed = contribs.groupBy("dst").agg(F.sum("c").alias("msum"))
+            contribs = edges_w.join(state.withColumnRenamed("id", "src"), "src").select(
+                "src", "dst", (F.col("rank") * F.col("w")).alias("c")
+            )
+            if n_salts and n_salts > 1:
+                # salt by src: rows of one hot dst spread across n_salts
+                # partial groups, so no single reducer key sees the full
+                # in-degree of a super-node
+                summed = _salted_sum(contribs, "dst", "c", "msum", n_salts, salt_src="src")
+            else:
+                summed = contribs.groupBy("dst").agg(F.sum("c").alias("msum"))
         new_state = (
             ids.join(summed.withColumnRenamed("dst", "id"), "id", "left")
             .select(
@@ -127,4 +148,6 @@ def pagerank(
         edges_w.unpersist()
         ids.unpersist()
         dangling_ids.unpersist()
+        if blocked is not None:
+            blocked.unpersist()
     return result

@@ -62,7 +62,8 @@ REPO_SCHEMA = T.StructType(
 
 def _mix(x: np.ndarray, salt: int) -> np.ndarray:
     """SplitMix64 avalanche — vectorized deterministic uint64 hash."""
-    z = (x.astype(np.uint64) + np.uint64(salt) * np.uint64(0x9E3779B97F4A7C15))
+    # fold the salt in Python ints (numpy scalar uint64 mul warns on wrap)
+    z = x.astype(np.uint64) + np.uint64((salt * 0x9E3779B97F4A7C15) % 2**64)
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return z ^ (z >> np.uint64(31))

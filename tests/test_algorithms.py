@@ -85,6 +85,27 @@ def test_pagerank_salted_equals_unsalted(two_cliques_bridge):
         assert math.isclose(a[k], b[k], rel_tol=1e-9)
 
 
+def test_pagerank_csr_blocks_equal_dataframe_path(two_cliques_bridge):
+    """The CSR-block mapInPandas scale path (quiver_spark.csr) is a
+    physical rewrite of the same superstep algebra — ranks match the
+    pure-DataFrame path to float tolerance."""
+    plain = pagerank(two_cliques_bridge, num_iters=10)
+    csr = pagerank(two_cliques_bridge, num_iters=10, use_csr=True, n_blocks=4)
+    a = {r["id"]: r["rank"] for r in plain.state.collect()}
+    b = {r["id"]: r["rank"] for r in csr.state.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-9)
+
+
+def test_pagerank_csr_converges_with_dangling(dangling_dag):
+    """CSR path under tolerance mode: converges, conserves mass."""
+    res = pagerank(dangling_dag, tol=1e-8, max_iters=100, use_csr=True, n_blocks=4)
+    total = res.state.agg(F.sum("rank")).collect()[0][0]
+    assert res.converged
+    assert math.isclose(total, 1.0, rel_tol=1e-6)
+
+
 def test_pagerank_multigraph_weighting(spark):
     """Parallel labeled edges count as separate links: 0→1 twice and
     0→2 once ⇒ vertex 1 gets 2/3 of 0's contribution."""
