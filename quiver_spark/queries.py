@@ -153,6 +153,132 @@ def q_cheapest_path_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.col("cost").cast("long").alias("cost"), "parent")
 
 
+def q_pagerank_hierarchy_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same superstep algebra through the CSR-block scale path
+    (quiver_spark.csr) — oracle-checked against the identical SQL as
+    the DataFrame path, proving the physical rewrite is value-exact."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    res = pagerank(g, damping=PR_DAMPING, num_iters=PR_ITERS, use_csr=True, n_blocks=16)
+    return res.state.select(
+        "id", F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("long").alias("rank_e9")
+    )
+
+
+def q_subgraph_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Induced subgraph on the region+nation id set — quiver
+    ``subgraph`` [pub: Graph.scala#subgraph]: only edges with BOTH
+    endpoints inside survive."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    ids = g.vertices.filter(F.col("kind").isin("region", "nation")).select("id")
+    sub = g.subgraph(ids)
+    return sub.edges.select("src", "dst")
+
+
+def q_labfilter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """labfilter drops vertices AND their incident edges
+    [pub: Graph.scala#labfilter] — dropping customers removes exactly
+    the customer→nation edges."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    f = g.labfilter(F.col("kind") != "customer")
+    return spark.createDataFrame(
+        [(f.count_nodes(), f.count_edges())], "n_vertices long, n_edges long"
+    )
+
+
+def q_undir_edge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """undir adds the reverse of every edge with Set-dedup
+    [pub: Graph.scala#undir]; on the co-part graph (canonical s1<s2,
+    no reverse pairs pre-exist) the pair count exactly doubles."""
+    g = tg.supplier_copart_graph(spark, sf_dir)
+    u = g.undir()
+    return u.edges.agg(F.count(F.lit(1)).alias("n_edges"))
+
+
+def q_union_monoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph union Set-merges edges and unions vertices
+    [pub: Graph.scala#union]: admin-subgraph ∪ full hierarchy = full
+    hierarchy (absorption — union with a subgraph adds nothing)."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    sub = g.labfilter(F.col("kind").isin("region", "nation", "supplier"))
+    u = sub.union(g)
+    return spark.createDataFrame(
+        [(u.count_nodes(), u.count_edges())], "n_vertices long, n_edges long"
+    )
+
+
+def q_fold_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commutative-monoid fold over the context view
+    [pub: Graph.scala#fold]: Σ|out_adj| = |E|, max total degree."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    return g.fold_contexts(
+        [
+            F.sum(F.size("out_adj")).cast("long").alias("total_out"),
+            F.max(F.size("in_adj") + F.size("out_adj")).cast("long").alias("max_degree"),
+        ]
+    )
+
+
+def q_context_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch context view [pub: Graph.scala#contexts]: per-vertex
+    in/out adjacency sizes straight from the materialized Context."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    return g.contexts().select(
+        "id", F.size("in_adj").cast("long").alias("n_in"), F.size("out_adj").cast("long").alias("n_out")
+    )
+
+
+def q_gmap_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gmap [pub: Graph.scala#gmap]: a vectorized pandas kernel over
+    every context — relabels each vertex with its total degree."""
+    import pandas as pd
+
+    g = tg.hierarchy_graph(spark, sf_dir)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id": pdf["id"], "degree": pdf["in_adj"].str.len() + pdf["out_adj"].str.len()}
+        )
+
+    return g.gmap(kernel, "id long, degree long")
+
+
+def q_esp_order1_to_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-shortest path [pub: Graph.scala#esp] from order 1 up the
+    unique parent chain to its region — (pos, id) rows; the hierarchy
+    makes the path unique so it is oracle-exact."""
+    g = tg.hierarchy_graph(spark, sf_dir, with_orders=True)
+    start = tg.O + 1
+    reach = traverse.reachable(g, start, direction="out")
+    target_rows = (
+        reach.join(g.vertices.filter(F.col("kind") == "region"), "id", "left_semi").collect()
+    )
+    t = target_rows[0]["id"]
+    path = traverse.esp(g, start, t)
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(path)], "pos long, id long"
+    )
+
+
+def q_dff_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spanning forest [pub: Graph.scala#dff] grown downward from the
+    regions: every vertex lands in exactly one region's tree."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    seeds = g.vertices.filter(F.col("kind") == "region").select("id")
+    return traverse.dff(g, seeds, direction="in").select("id", "root")
+
+
+def q_remove_nations_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """removeNode drops the vertex and ALL incident edges
+    [pub: Graph.scala#removeNode]: every hierarchy edge touches a
+    nation, so removing nations empties the edge table."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    nations = g.vertices.filter(F.col("kind") == "nation").select("id")
+    r = g.remove_nodes(nations)
+    return spark.createDataFrame(
+        [(r.count_nodes(), r.count_edges())], "n_vertices long, n_edges long"
+    )
+
+
 # ----------------------------------------------------- repo-graph queries
 # (no DuckDB view of the synthetic repo table → rows-only checks)
 def _repo_n_files(sf_dir: str) -> int:
@@ -252,6 +378,14 @@ it0 AS (SELECT id, label FROM v)""",
     return "\n".join(parts)
 
 
+_HIER_EO = """
+eo(src, dst) AS MATERIALIZED (
+  SELECT CAST(2000000 + n_nationkey AS BIGINT), CAST(1000000 + n_regionkey AS BIGINT) FROM nation
+  UNION ALL SELECT CAST(3000000 + c_custkey AS BIGINT), CAST(2000000 + c_nationkey AS BIGINT) FROM customer
+  UNION ALL SELECT CAST(4000000 + s_suppkey AS BIGINT), CAST(2000000 + s_nationkey AS BIGINT) FROM supplier
+  UNION ALL SELECT CAST(5000000 + o_orderkey AS BIGINT), CAST(3000000 + o_custkey AS BIGINT) FROM orders
+)"""
+
 ORACLES: dict[str, str] = {
     "nation_in_degree": f"""
 WITH {_HIER_V.strip()}, {_HIER_E.strip()}
@@ -328,6 +462,83 @@ SELECT ids.id, COALESCE(cnt.triangles, 0) AS triangles
 FROM ids LEFT JOIN cnt ON cnt.id = ids.id
 """,
     "pagerank_hierarchy": _pagerank_oracle_sql(),
+    "pagerank_hierarchy_csr": _pagerank_oracle_sql(),
+    "subgraph_admin": f"""
+WITH {_HIER_V.strip()}, {_HIER_E.strip()},
+keep AS (SELECT id FROM v WHERE kind IN ('region','nation'))
+SELECT e.src, e.dst FROM e
+JOIN keep a ON a.id = e.src JOIN keep b ON b.id = e.dst
+""",
+    "labfilter_cascade": f"""
+WITH {_HIER_V.strip()}, {_HIER_E.strip()},
+keep AS (SELECT id FROM v WHERE kind <> 'customer')
+SELECT
+  CAST((SELECT count(*) FROM keep) AS BIGINT) AS n_vertices,
+  CAST((SELECT count(*) FROM e
+        WHERE e.src IN (SELECT id FROM keep) AND e.dst IN (SELECT id FROM keep)) AS BIGINT) AS n_edges
+""",
+    "undir_edge_count": f"""
+WITH {_COPART_E.strip()}
+SELECT CAST(count(*) AS BIGINT) AS n_edges FROM (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+)
+""",
+    "union_monoid": f"""
+WITH {_HIER_V.strip()}, {_HIER_E.strip()}
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_vertices,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges
+""",
+    "fold_degree_stats": f"""
+WITH {_HIER_V.strip()}, {_HIER_E.strip()},
+deg AS (
+  SELECT v.id,
+         (SELECT count(*) FROM e WHERE e.dst = v.id) AS n_in,
+         (SELECT count(*) FROM e WHERE e.src = v.id) AS n_out
+  FROM v
+)
+SELECT CAST(SUM(n_out) AS BIGINT) AS total_out,
+       CAST(MAX(n_in + n_out) AS BIGINT) AS max_degree
+FROM deg
+""",
+    "context_adjacency": f"""
+WITH {_HIER_V.strip()}, {_HIER_E.strip()}
+SELECT v.id,
+       CAST((SELECT count(*) FROM e WHERE e.dst = v.id) AS BIGINT) AS n_in,
+       CAST((SELECT count(*) FROM e WHERE e.src = v.id) AS BIGINT) AS n_out
+FROM v
+""",
+    "gmap_degree": f"""
+WITH {_HIER_V.strip()}, {_HIER_E.strip()}
+SELECT v.id,
+       CAST((SELECT count(*) FROM e WHERE e.dst = v.id)
+          + (SELECT count(*) FROM e WHERE e.src = v.id) AS BIGINT) AS degree
+FROM v
+""",
+    "esp_order1_to_region": f"""
+WITH RECURSIVE {_HIER_EO.strip()},
+walk(pos, id) AS (
+  SELECT CAST(0 AS BIGINT), CAST(5000001 AS BIGINT)
+  UNION ALL
+  SELECT walk.pos + 1, eo.dst FROM eo JOIN walk ON eo.src = walk.id
+)
+SELECT pos, id FROM walk
+""",
+    "dff_roots": f"""
+WITH RECURSIVE {_HIER_V.strip()}, {_HIER_E.strip()},
+walk(id, root) AS (
+  SELECT id, id FROM v WHERE kind = 'region'
+  UNION ALL
+  SELECT e.src, walk.root FROM e JOIN walk ON e.dst = walk.id
+)
+SELECT id, root FROM walk
+""",
+    "remove_nations_cascade": f"""
+WITH {_HIER_V.strip()}, {_HIER_E.strip()},
+keep AS (SELECT id FROM v WHERE kind <> 'nation')
+SELECT CAST((SELECT count(*) FROM keep) AS BIGINT) AS n_vertices,
+       CAST((SELECT count(*) FROM e
+             WHERE e.src IN (SELECT id FROM keep) AND e.dst IN (SELECT id FROM keep)) AS BIGINT) AS n_edges
+""",
     "labelprop_nations": _labelprop_oracle_sql(),
     "multigraph_edge_count": """
 SELECT CAST(count(*) AS BIGINT) AS n_edges FROM (
@@ -363,6 +574,17 @@ QUERIES = {
     "triangle_count_suppliers": q_triangle_count_suppliers,
     "triangles_per_supplier": q_triangles_per_supplier,
     "pagerank_hierarchy": q_pagerank_hierarchy,
+    "pagerank_hierarchy_csr": q_pagerank_hierarchy_csr,
+    "subgraph_admin": q_subgraph_admin,
+    "labfilter_cascade": q_labfilter_cascade,
+    "undir_edge_count": q_undir_edge_count,
+    "union_monoid": q_union_monoid,
+    "fold_degree_stats": q_fold_degree_stats,
+    "context_adjacency": q_context_adjacency,
+    "gmap_degree": q_gmap_degree,
+    "esp_order1_to_region": q_esp_order1_to_region,
+    "dff_roots": q_dff_roots,
+    "remove_nations_cascade": q_remove_nations_cascade,
     "labelprop_nations": q_labelprop_nations,
     "multigraph_edge_count": q_multigraph_edge_count,
     "cheapest_path_costs": q_cheapest_path_costs,
