@@ -69,7 +69,7 @@ def main() -> None:
     g, n_nodes, n_edges = timed("ingest_repo_graph", build)
 
     # --- flagship: PageRank to 1e-6 ---
-    res = timed("pagerank_1e6", lambda: pagerank(g, tol=1e-6, max_iters=60))
+    res = timed("pagerank_1e6", lambda: pagerank(g, tol=1e-6, max_iters=60, strategy="auto"))
     supersteps = res.supersteps
     pr_wall = timings["pagerank_1e6"]
     extra["pagerank"] = {

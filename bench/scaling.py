@@ -28,31 +28,46 @@ from quiver_spark import ingest as ing
 from quiver_spark.graph import Graph
 from quiver_spark.algorithms import pagerank
 
-cores = int(sys.argv[1]); n_v = int(sys.argv[2]); n_e = int(sys.argv[3]); iters = int(sys.argv[4])
-spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]")
+cores = int(sys.argv[1]); n_v = int(sys.argv[2]); n_e = int(sys.argv[3]); iters = int(sys.argv[4]); strat = sys.argv[5]
+# fixed layout across levels: same block count / shuffle partitions /
+# task graph at both parallelism levels — only the core count varies,
+# exactly as a fixed dataset behaves on a bigger cluster
+NB = int(os.environ.get("SCALING_BLOCKS", "64"))
+spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=NB)
 spark.sparkContext.setLogLevel("ERROR")
 edges = ing.synthesize_powerlaw_edges(spark, n_vertices=n_v, n_edges=n_e, seed=42)
 g = Graph.from_edges(edges)
 g.persist(); g.count_nodes(); g.count_edges()
-# warm-up superstep so JIT/codegen doesn't bias the timing
-pagerank(g, num_iters=1)
 t0 = time.monotonic()
-res = pagerank(g, num_iters=iters)
+res = pagerank(g, num_iters=iters, strategy=strat, n_blocks=NB)
 res.state.count()
 wall = time.monotonic() - t0
+# steady-state throughput: drop the first WARM supersteps (cache
+# population, python-worker spin-up, JIT/codegen) — scaling efficiency
+# must compare the repeated per-superstep work, not one-time setup.
+WARM = min(4, iters - 1)
+steady = [m["wall_ms"] for m in res.metrics][WARM:]
+steady_wall = sum(steady) / 1000.0
+k = len(steady)
 print("RESULT " + json.dumps({
-    "cores": cores, "wall_sec": round(wall, 3), "supersteps": iters,
-    "supersteps_per_sec": round(iters / wall, 4),
-    "edges_per_sec": round(iters * n_e / wall, 1),
+    "cores": cores, "strategy": strat, "wall_sec": round(wall, 3), "supersteps": iters,
+    "warmup_supersteps": WARM,
+    "steady_wall_sec": round(steady_wall, 3),
+    "supersteps_per_sec": round(k / steady_wall, 4),
+    "edges_per_sec": round(k * n_e / steady_wall, 1),
+    "wall_per_superstep_ms": [round(m["wall_ms"], 1) for m in res.metrics],
 }))
 spark.stop()
 """
 
 
-def run_level(cores: int, n_v: int, n_e: int, iters: int) -> dict:
+def run_level(cores: int, n_v: int, n_e: int, iters: int, strategy: str = "smj") -> dict:
     env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # the box has 128 GiB; a GC-bound heap would corrupt the scaling
+    # measurement (memory pressure, not cores, would set the wall)
+    env.setdefault("SPARK_DRIVER_MEM", "24g")
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(cores), str(n_v), str(n_e), str(iters)],
+        [sys.executable, "-c", _CHILD, str(cores), str(n_v), str(n_e), str(iters), strategy],
         capture_output=True,
         text=True,
         env=env,
@@ -70,15 +85,17 @@ def main() -> None:
     ap.add_argument("--vertices", type=int, default=2_000_000)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--strategy", default="csr_bcast")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
 
-    r_lo = run_level(lo, args.vertices, args.edges, args.iters)
-    r_hi = run_level(hi, args.vertices, args.edges, args.iters)
+    r_lo = run_level(lo, args.vertices, args.edges, args.iters, args.strategy)
+    r_hi = run_level(hi, args.vertices, args.edges, args.iters, args.strategy)
     factor = hi / lo
     eff = (r_hi["edges_per_sec"] / r_lo["edges_per_sec"]) / factor
     result = {
         "metric": "pagerank_scaling_efficiency",
+        "strategy": args.strategy,
         "value": round(eff, 3),
         "unit": f"throughput ratio / {factor:g}x cores",
         "low": r_lo,
@@ -94,7 +111,7 @@ def main() -> None:
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
             f"\n## pagerank scaling run ({args.edges:,} edges, {args.vertices:,} vertices, "
-            f"{args.iters} fixed supersteps)\n\n"
+            f"{args.iters} fixed supersteps, strategy={args.strategy})\n\n"
             f"| parallelism | wall (s) | supersteps/sec | edges/sec |\n|---|---|---|---|\n"
             f"| local[{lo}] | {r_lo['wall_sec']} | {r_lo['supersteps_per_sec']} | {r_lo['edges_per_sec']:,} |\n"
             f"| local[{hi}] | {r_hi['wall_sec']} | {r_hi['supersteps_per_sec']} | {r_hi['edges_per_sec']:,} |\n\n"

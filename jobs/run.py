@@ -1,0 +1,156 @@
+"""spark-submit entrypoint for the quiver_spark engine.
+
+The north rule (BASELINE.json:14) requires the engine to ship as
+``spark-submit --py-files`` jobs. Package the library with
+``python tools/package.py`` (writes ``dist/quiver_spark.zip``), then:
+
+    spark-submit --py-files dist/quiver_spark.zip jobs/run.py \
+        pagerank --input /data/repos_parquet --output /out/ranks \
+        --run-dir /ckpt/pr_run1 --strategy auto --tol 1e-6
+
+Subcommands: ``ingest``, ``pagerank``, ``components``, ``labelprop``,
+``triangles``, ``synthesize``. Every iterative job takes ``--run-dir``
+for durable checkpoints + per-partition lineage + metrics, and is
+resumable: re-submitting the same command with the same --run-dir
+continues from the newest completed superstep (SuperstepRunner.run
+resume=True).
+
+On a cluster, --input/--output are any Spark-readable URIs (Iceberg
+tables via ``--format iceberg`` where the catalog is configured; plain
+Parquet here — SURVEY.md §7 Iceberg caveat).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(args) -> SparkSession:
+    # under spark-submit the master/conf come from the submit command;
+    # builder here only fills local-run defaults
+    b = SparkSession.builder.appName(f"quiver-{args.cmd}")
+    if args.master:
+        b = b.master(args.master)
+    b = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    return b.getOrCreate()
+
+
+def _read(spark: SparkSession, uri: str, fmt: str):
+    return spark.read.format(fmt).load(uri) if fmt != "table" else spark.table(uri)
+
+
+def _load_graph(spark: SparkSession, args):
+    from quiver_spark import ingest as ing
+    from quiver_spark.graph import Graph
+
+    if args.edges_input:
+        g = Graph.from_edges(_read(spark, args.edges_input, args.format))
+    else:
+        repos = (
+            ing.synthesize_repo_table(spark, n_files=args.n_files, seed=args.seed)
+            if args.synthesize
+            else _read(spark, args.input, args.format)
+        )
+        g = ing.ingest(repos)
+    g.persist()
+    return g
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="quiver-spark")
+    ap.add_argument("cmd", choices=["ingest", "pagerank", "components", "labelprop", "triangles", "synthesize"])
+    ap.add_argument("--input", help="repo table URI (repo,path,commit,lang,content)")
+    ap.add_argument("--edges-input", help="pre-built edge table URI (src,dst,...) instead of --input")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--format", default="parquet", help="parquet | iceberg | table")
+    ap.add_argument("--run-dir", help="durable checkpoint/lineage/metrics dir (resumable)")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--synthesize", action="store_true", help="generate the repo table instead of reading it")
+    ap.add_argument("--n-files", type=int, default=10_000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iters", type=int, default=100)
+    ap.add_argument("--num-iters", type=int, default=None, help="fixed superstep count (oracle mode)")
+    ap.add_argument("--strategy", default="auto", help="pagerank physical strategy (auto/smj/bhj/csr/csr_bcast)")
+    ap.add_argument("--checkpoint-every", type=int, default=5)
+    ap.add_argument("--label-col", default="lang")
+    ap.add_argument("--lp-iters", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    spark = _spark(args)
+    from quiver_spark.superstep import SuperstepRunner
+
+    runner = (
+        SuperstepRunner(spark, run_dir=args.run_dir, checkpoint_every=args.checkpoint_every)
+        if args.run_dir
+        else None
+    )
+
+    if args.cmd == "synthesize":
+        from quiver_spark import ingest as ing
+
+        ing.synthesize_repo_table(spark, n_files=args.n_files, seed=args.seed).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+        print(json.dumps({"job": "synthesize", "n_files": args.n_files, "output": args.output}))
+        return 0
+
+    g = _load_graph(spark, args)
+
+    if args.cmd == "ingest":
+        g.vertices.write.mode("overwrite").parquet(args.output + "/vertices")
+        g.edges.write.mode("overwrite").parquet(args.output + "/edges")
+        out = {"job": "ingest", "vertices": g.count_nodes(), "edges": g.count_edges()}
+    elif args.cmd == "pagerank":
+        from quiver_spark.algorithms import pagerank
+
+        res = pagerank(
+            g,
+            tol=None if args.num_iters else args.tol,
+            num_iters=args.num_iters,
+            max_iters=args.max_iters,
+            strategy=args.strategy,
+            runner=runner,
+        )
+        res.state.write.mode("overwrite").parquet(args.output)
+        out = {
+            "job": "pagerank",
+            "supersteps": res.supersteps,
+            "converged": res.converged,
+            "resumed_from": res.resumed_from,
+        }
+    elif args.cmd == "components":
+        from quiver_spark.algorithms import connected_components
+
+        res = connected_components(g, max_iters=args.max_iters, runner=runner)
+        res.state.write.mode("overwrite").parquet(args.output)
+        out = {"job": "components", "supersteps": res.supersteps, "resumed_from": res.resumed_from}
+    elif args.cmd == "labelprop":
+        from quiver_spark.algorithms import label_propagation
+
+        res = label_propagation(g, label_col=args.label_col, num_iters=args.lp_iters, runner=runner)
+        res.state.write.mode("overwrite").parquet(args.output)
+        out = {"job": "labelprop", "supersteps": res.supersteps}
+    elif args.cmd == "triangles":
+        from quiver_spark.algorithms import triangle_count
+
+        n_tri = triangle_count(g)
+        spark.createDataFrame([(int(n_tri),)], "triangles long").write.mode("overwrite").parquet(args.output)
+        out = {"job": "triangles", "triangles": int(n_tri)}
+    else:  # pragma: no cover
+        raise SystemExit(2)
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

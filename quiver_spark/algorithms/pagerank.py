@@ -8,28 +8,55 @@ core/src/main/scala/quiver/Decomp.scala#extend]: each vertex's new
 label (rank) is a function of the graph focused at that vertex
 (in-neighbors' ranks).
 
-Scale design (SURVEY.md §2.8, §4.3):
+Scale design (SURVEY.md §2.8, §4.3). The edge table is projected once
+to a reusable weighted frame ``(src, dst, w=1/outdeg)`` and persisted;
+only the small rank state moves each superstep. Four physical
+strategies share identical semantics (tests assert equality):
 
-- The edge table is projected once to ``(src, dst)`` (multiplicities
-  kept — a parallel labeled edge is a second link, consistent with
-  quiver's Set[B] identity), joined once with out-degrees to a
-  reusable ``(src, dst, w=1/outdeg)`` frame, persisted across all
-  supersteps. Only the small rank table moves each round.
-- The per-superstep shuffle is the ``groupBy(dst)`` of contributions.
-  Spark's hash aggregate already partial-combines map-side; for
-  power-law in-degree skew the optional two-phase **salted**
-  aggregation (`salt = pmod(xxhash64(src), n)` → partial sum on
-  (dst, salt) → final sum on dst) bounds any single reducer key.
-- Dangling mass (sinks — source-repo DAGs are full of them) is
-  collected with one scalar agg per superstep and redistributed
-  uniformly, so ranks always sum to 1 (conservation is a test).
-- Fixed-iteration mode (``num_iters``) pins the superstep count for
-  bit-comparable DuckDB oracles; tolerance mode (``tol``) runs to the
-  1e-6 fixpoint with max-|delta| as the convergence metric.
+- ``smj``   — sort-merge join of edges⋈state on src, then salted /
+  plain ``groupBy(dst)``. The fully general path: no broadcast, no
+  assumption that the vertex state fits anywhere. Two shuffles per
+  superstep.
+- ``bhj``   — edges persisted hash-blocked **by dst**; state broadcast
+  (JVM) into the join; contributions combined by ``groupBy(block,
+  dst)``, which Catalyst runs as a partition-complete aggregate
+  because ``hashpartitioning(block)`` satisfies the clustering — and
+  the final join back to the (co-partitioned, co-sorted) vertex frame
+  also needs no exchange. **Zero exchanges per superstep**; the only
+  data motion is the state broadcast (vertex mirroring, as GraphX's
+  replicated vertex view).
+- ``csr``   — edges hash-blocked by src; state shuffled to the same
+  blocking; a cogrouped Arrow kernel does a partition-local CSR SpMV
+  and emits pre-combined ``(dst, partial)`` messages. The
+  beyond-broadcast-scale path: state never needs to fit in one place.
+- ``csr_bcast`` — edges hash-blocked by dst as CSR blocks; the state
+  is mirrored to every kernel as a **numpy broadcast** (sorted id +
+  rank arrays); each superstep is one cogrouped Arrow kernel doing a
+  vectorized SpMV with **no shuffle at all** — in-block combine is
+  total because all edges of one dst share a block. Driver round-trip
+  per superstep = one Arrow collect of the state + one ~16B/vertex
+  broadcast.
+
+Strategy choice at 100 TB: state fits executor memory (≲ tens of
+millions of vertices) → a mirror strategy (``bhj``/``csr_bcast``);
+larger → ``csr``/``smj``. ``auto`` applies that rule from the vertex
+count.
+
+Dangling mass (sinks — source-repo DAGs are full of them) is folded
+into the same superstep DAG as a broadcast 1-row aggregate (no
+driver collect), so each superstep is ONE job: the localCheckpoint
+materialization. Ranks always sum to 1 (conservation is a test).
+Fixed-iteration mode (``num_iters``) pins the superstep count for
+bit-comparable DuckDB oracles; tolerance mode (``tol``) runs to the
+1e-6 fixpoint with max-|delta| carried as an in-frame column (the
+convergence agg is a scan of the checkpointed state, never a
+recompute).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -48,6 +75,10 @@ def _salted_sum(df: DataFrame, key: str, value: str, out: str, n_salts: int, sal
     return partial.groupBy(key).agg(F.sum("_psum").alias(out))
 
 
+def _block(col: str, n_blocks: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_blocks)).cast("int")
+
+
 def pagerank(
     graph: Graph,
     damping: float = 0.85,
@@ -57,6 +88,7 @@ def pagerank(
     n_salts: int | None = None,
     use_csr: bool = False,
     n_blocks: int | None = None,
+    strategy: str | None = None,
     runner: SuperstepRunner | None = None,
 ) -> SuperstepResult:
     """Returns a SuperstepResult whose state is ``(id, rank)``.
@@ -64,90 +96,255 @@ def pagerank(
     ``num_iters`` set → exactly that many supersteps, no convergence
     action (oracle mode). Otherwise iterate until max |Δrank| ≤ tol.
 
-    ``use_csr=True`` runs each superstep's rank×edge combine through
-    partition-local CSR blocks (quiver_spark.csr) — the north-rule
-    scale path: the edge table is hash-blocked once, persisted, and
-    each superstep shuffles only the small rank state plus
-    pre-combined per-block (dst, partial) messages.
+    ``strategy`` ∈ {"auto", "smj", "bhj", "csr", "csr_bcast"} — see
+    module docstring. ``use_csr=True`` is the legacy spelling of
+    ``strategy="csr"``.
     """
     spark = graph.spark
     runner = runner or SuperstepRunner(spark)
-
-    ids = graph.vertices.select("id").persist()
-    n = ids.count()
-    if n == 0:
-        return SuperstepResult(state=spark.createDataFrame([], "id long, rank double"), supersteps=0)
+    if strategy is None:
+        strategy = "csr" if use_csr else "smj"
 
     out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("od"))
+    # vertex frame with the dangling flag baked in: (id, dang)
+    ids = (
+        graph.vertices.select("id")
+        .join(out_deg.select("id"), "id", "left_anti")
+        .select("id", F.lit(True).alias("dang"))
+        .unionByName(out_deg.select("id", F.lit(False).alias("dang")))
+        .persist()
+    )
+    n = ids.count()
+    if n == 0:
+        ids.unpersist()
+        return SuperstepResult(state=spark.createDataFrame([], "id long, rank double"), supersteps=0)
+    if strategy == "auto":
+        # mirror strategies need the state resident per executor; at
+        # ~16 B/vertex, 50M vertices ≈ 800 MB broadcast — fine on a
+        # real executor, beyond that switch to the cogrouped CSR path
+        # (state never has to fit in one place). bhj measured fastest
+        # AND best-scaling of the mirror strategies (BENCH/BASELINE.md).
+        strategy = "bhj" if n <= 50_000_000 else "csr"
+
     # reusable weighted edge frame: each edge instance carries 1/outdeg(src)
     edges_w = (
         graph.edges.select("src", "dst")
         .join(out_deg.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.lit(1.0) / F.col("od")).alias("w"))
-        .persist()
     )
-    edges_w.count()  # materialize before the loop
-    dangling_ids = ids.join(out_deg.select("id"), "id", "left_anti").persist()
 
-    blocked = None
-    if use_csr:
-        from quiver_spark import csr
-
-        n_blocks = n_blocks or max(spark.sparkContext.defaultParallelism, 8)
-        blocked = csr.blocked_edges(edges_w, n_blocks)
-        blocked.count()
-
+    sc = spark.sparkContext
+    n_blocks = n_blocks or max(sc.defaultParallelism, 8)
     base = (1.0 - damping) / n
-    state0 = ids.select("id", F.lit(1.0 / n).alias("rank"))
     fixed = num_iters is not None
     total_iters = num_iters if fixed else max_iters
 
-    def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
-        dangling_sum = (
-            state.join(dangling_ids, "id", "left_semi").agg(F.sum("rank")).collect()[0][0] or 0.0
-        )
-        if blocked is not None:
-            from quiver_spark import csr
+    persisted: list[DataFrame] = [ids]
 
-            summed = csr.csr_contributions(blocked, state, n_blocks)
-        else:
-            contribs = edges_w.join(state.withColumnRenamed("id", "src"), "src").select(
-                "src", "dst", (F.col("rank") * F.col("w")).alias("c")
-            )
-            if n_salts and n_salts > 1:
-                # salt by src: rows of one hot dst spread across n_salts
-                # partial groups, so no single reducer key sees the full
-                # in-degree of a super-node
-                summed = _salted_sum(contribs, "dst", "c", "msum", n_salts, salt_src="src")
-            else:
-                summed = contribs.groupBy("dst").agg(F.sum("c").alias("msum"))
-        new_state = (
-            ids.join(summed.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * (F.coalesce(F.col("msum"), F.lit(0.0)) + F.lit(dangling_sum / n))
-                ).alias("rank"),
-            )
+    def keep(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        persisted.append(df)
+        return df
+
+    # ------------------------------------------------------------------
+    # strategy-specific prepared frames
+    # ------------------------------------------------------------------
+    if strategy == "smj":
+        edges_w = keep(edges_w.repartition(n_blocks, "src").sortWithinPartitions("src"))
+        edges_w.count()
+    elif strategy == "bhj":
+        edges_w = keep(
+            edges_w.withColumn("block", _block("dst", n_blocks))
+            .repartition(n_blocks, "block")
+            .sortWithinPartitions("block", "dst")
         )
+        edges_w.count()
+        ids_b = keep(
+            ids.withColumn("block", _block("id", n_blocks))
+            .repartition(n_blocks, "block")
+            .sortWithinPartitions("block", "id")
+        )
+        ids_b.count()
+    elif strategy == "csr":
+        from quiver_spark import csr
+
+        blocked = keep(csr.blocked_edges(edges_w, n_blocks))
+        blocked.count()
+    elif strategy == "csr_bcast":
+        # persist pre-sorted by the cogroup key (and dst for the kernel's
+        # reduceat fast-path) so the per-superstep Sort node is elided
+        edges_b = keep(
+            edges_w.withColumn("block", _block("dst", n_blocks))
+            .repartition(n_blocks, "block")
+            .sortWithinPartitions("block", "dst")
+        )
+        edges_b.count()
+        ids_b = keep(
+            ids.withColumn("block", _block("id", n_blocks))
+            .repartition(n_blocks, "block")
+            .sortWithinPartitions("block", "id")
+        )
+        ids_b.count()
+    else:
+        raise ValueError(f"unknown pagerank strategy: {strategy!r}")
+
+    # internal state schema: (id, rank, dang, delta); stripped on return
+    state0 = ids.select("id", F.lit(1.0 / n).alias("rank"), "dang", F.lit(0.0).alias("delta"))
+
+    # dangling mass as a broadcast 1-row frame — stays inside the DAG
+    def dang_row(state: DataFrame) -> DataFrame:
+        return state.where(F.col("dang")).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dsum"))
+
+    def finish(joined: DataFrame, msum_col: str, dsum_col) -> DataFrame:
+        """base + d*(msgs + dangling/n), new delta vs carried prev rank."""
+        new_rank = F.lit(base) + F.lit(damping) * (
+            F.coalesce(F.col(msum_col), F.lit(0.0)) + dsum_col / F.lit(float(n))
+        )
+        return joined.select(
+            "id",
+            new_rank.alias("rank"),
+            "dang",
+            F.abs(new_rank - F.col("_prev")).alias("delta"),
+        )
+
+    # ------------------------------------------------------------------
+    # per-strategy superstep bodies: state -> new state (one lazy DAG)
+    # ------------------------------------------------------------------
+    def step_smj(state: DataFrame) -> DataFrame:
+        contribs = edges_w.join(
+            state.select(F.col("id").alias("src"), "rank"), "src"
+        ).select("dst", (F.col("rank") * F.col("w")).alias("c"))
+        if n_salts and n_salts > 1:
+            summed = _salted_sum(contribs, "dst", "c", "msum", n_salts, salt_src="dst")
+        else:
+            summed = contribs.groupBy("dst").agg(F.sum("c").alias("msum"))
+        joined = (
+            state.select("id", F.col("rank").alias("_prev"), "dang")
+            .join(summed.withColumnRenamed("dst", "id"), "id", "left")
+            .crossJoin(F.broadcast(dang_row(state)))
+        )
+        return finish(joined, "msum", F.col("_dsum"))
+
+    def step_bhj(state: DataFrame) -> DataFrame:
+        contribs = edges_w.join(
+            F.broadcast(state.select(F.col("id").alias("src"), "rank")), "src"
+        ).select("block", "dst", (F.col("rank") * F.col("w")).alias("c"))
+        # hashpartitioning(block) satisfies ClusteredDistribution(block, dst)
+        # → partition-complete aggregate, no exchange
+        summed = contribs.groupBy("block", "dst").agg(F.sum("c").alias("msum"))
+        # NOTE: no prev-rank tracking inside this DAG — embedding a
+        # second broadcast of the state here made per-superstep wall
+        # grow ~2x/step late in tolerance runs (AQE re-planning of the
+        # extra broadcast join); the convergence delta is instead
+        # computed by step() as a separate small join of the two
+        # checkpointed state frames, keeping this plan identical to the
+        # (measured-flat) fixed-iteration plan.
+        joined = ids_b.join(summed.withColumnRenamed("dst", "id"), ["block", "id"], "left").withColumn(
+            "_prev", F.lit(0.0)
+        )
+        return finish(joined.crossJoin(F.broadcast(dang_row(state))), "msum", F.col("_dsum"))
+
+    def step_csr(state: DataFrame) -> DataFrame:
+        from quiver_spark import csr
+
+        summed = csr.csr_contributions(blocked, state.select("id", "rank"), n_blocks)
+        joined = (
+            state.select("id", F.col("rank").alias("_prev"), "dang")
+            .join(summed.withColumnRenamed("dst", "id"), "id", "left")
+            .crossJoin(F.broadcast(dang_row(state)))
+        )
+        return finish(joined, "msum", F.col("_dsum"))
+
+    # --- csr_bcast: numpy vertex mirror, zero-shuffle superstep ---
+    bcast_box: list = [None]
+
+    def step_csr_bcast(state: DataFrame) -> DataFrame:
+        pdf = state.select("id", "rank", "dang").toPandas()
+        order = np.argsort(pdf["id"].to_numpy(np.int64), kind="stable")
+        bids = pdf["id"].to_numpy(np.int64)[order]
+        branks = pdf["rank"].to_numpy(np.float64)[order]
+        dsum = float(pdf["rank"].to_numpy(np.float64)[pdf["dang"].to_numpy(bool)].sum())
+        old = bcast_box[0]
+        bcast_box[0] = sc.broadcast((bids, branks))
+        if old is not None:
+            old.unpersist(blocking=False)
+        b = bcast_box[0]
+        dmass = dsum / float(n)
+        d = damping
+        bb = base
+
+        def kernel(e_pdf: pd.DataFrame, v_pdf: pd.DataFrame) -> pd.DataFrame:
+            if v_pdf.empty:
+                return pd.DataFrame(
+                    {"id": pd.Series(dtype="int64"), "rank": pd.Series(dtype="float64"),
+                     "dang": pd.Series(dtype=bool), "delta": pd.Series(dtype="float64")}
+                )
+            g_ids, g_ranks = b.value
+            vid = v_pdf["id"].to_numpy(np.int64)
+            if e_pdf.empty:
+                msum = np.zeros(len(vid))
+            else:
+                src = e_pdf["src"].to_numpy(np.int64)
+                dst = e_pdf["dst"].to_numpy(np.int64)
+                w = e_pdf["w"].to_numpy(np.float64)
+                pos = np.searchsorted(g_ids, src)
+                pos = np.clip(pos, 0, len(g_ids) - 1)
+                contrib = np.where(g_ids[pos] == src, g_ranks[pos], 0.0) * w
+                if np.all(dst[1:] >= dst[:-1]):
+                    # cached blocks arrive sorted by dst → segment-reduce
+                    # without the argsort inside np.unique
+                    starts = np.flatnonzero(np.concatenate(([True], dst[1:] != dst[:-1])))
+                    udst = dst[starts]
+                    sums = np.add.reduceat(contrib, starts)
+                else:
+                    udst, inv = np.unique(dst, return_inverse=True)
+                    sums = np.bincount(inv, weights=contrib, minlength=len(udst))
+                vpos = np.searchsorted(udst, vid)
+                vpos = np.clip(vpos, 0, max(len(udst) - 1, 0))
+                msum = np.where(udst[vpos] == vid, sums[vpos], 0.0)
+            new_rank = bb + d * (msum + dmass)
+            ppos = np.searchsorted(g_ids, vid)
+            ppos = np.clip(ppos, 0, len(g_ids) - 1)
+            prev = np.where(g_ids[ppos] == vid, g_ranks[ppos], 0.0)
+            return pd.DataFrame(
+                {"id": vid, "rank": new_rank, "dang": v_pdf["dang"].to_numpy(bool),
+                 "delta": np.abs(new_rank - prev)}
+            )
+
+        return (
+            edges_b.groupBy("block")
+            .cogroup(ids_b.groupBy("block"))
+            .applyInPandas(kernel, "id long, rank double, dang boolean, delta double")
+        )
+
+    bodies = {"smj": step_smj, "bhj": step_bhj, "csr": step_csr, "csr_bcast": step_csr_bcast}
+    body = bodies[strategy]
+
+    def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
+        new_state = body(state)
+        # materialize ONCE here; tell the runner not to re-checkpoint
+        new_state = new_state.localCheckpoint()
+        new_state._qs_checkpointed = True  # noqa: SLF001 — runner contract
         if fixed:
             return new_state, None
-        prev = state.select("id", F.col("rank").alias("_prev"))
-        # localCheckpoint here so the delta agg and the runner's own
-        # checkpoint don't recompute the join twice
-        new_state = new_state.localCheckpoint()
-        delta = (
-            new_state.join(prev, "id").agg(F.max(F.abs(F.col("rank") - F.col("_prev")))).collect()[0][0]
-        )
-        return new_state, float(delta)
+        if strategy == "bhj":
+            # delta as a separate small query over the two checkpointed
+            # state frames (see step_bhj note)
+            delta = (
+                new_state.join(state.select("id", F.col("rank").alias("_p")), "id")
+                .agg(F.max(F.abs(F.col("rank") - F.col("_p"))))
+                .collect()[0][0]
+            )
+        else:
+            delta = new_state.agg(F.max("delta")).collect()[0][0]
+        return new_state, float(delta if delta is not None else 0.0)
 
     try:
         result = runner.run(state0, step, tol=None if fixed else tol, max_iters=total_iters)
     finally:
-        edges_w.unpersist()
-        ids.unpersist()
-        dangling_ids.unpersist()
-        if blocked is not None:
-            blocked.unpersist()
+        for df in persisted:
+            df.unpersist()
+        if bcast_box[0] is not None:
+            bcast_box[0].unpersist(blocking=False)
+    result.state = result.state.select("id", "rank")
     return result

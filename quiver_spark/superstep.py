@@ -148,7 +148,11 @@ class SuperstepRunner:
         for k in range(start_k, max_iters):
             t0 = time.monotonic()
             new_state, delta = step_fn(state, k)
-            new_state = new_state.localCheckpoint()  # materialize + truncate lineage
+            # materialize + truncate lineage (unless the step already
+            # checkpointed — e.g. to compute its convergence delta from
+            # the cached result instead of recomputing the DAG)
+            if not getattr(new_state, "_qs_checkpointed", False):
+                new_state = new_state.localCheckpoint()
             wall_ms = (time.monotonic() - t0) * 1000
             converged = tol is not None and delta is not None and delta <= tol
             m = {

@@ -201,3 +201,27 @@ def test_triangles_multigraph_and_selfloop_collapse(spark):
         [(0, 1, "x"), (0, 1, "y"), (1, 0, "z"), (1, 2, "x"), (2, 0, "x"), (0, 0, "loop")],
     )
     assert triangle_count(g) == 1
+
+
+@pytest.mark.parametrize("strat", ["bhj", "csr", "csr_bcast"])
+def test_pagerank_strategies_equal_smj(two_cliques_bridge, strat):
+    """Every physical strategy (mirror-broadcast JVM, cogrouped CSR,
+    numpy-mirror CSR) is a rewrite of the same superstep algebra —
+    fixed-iteration ranks match the smj reference path per vertex."""
+    ref = pagerank(two_cliques_bridge, num_iters=10, strategy="smj")
+    alt = pagerank(two_cliques_bridge, num_iters=10, strategy=strat, n_blocks=4)
+    a = {r["id"]: r["rank"] for r in ref.state.collect()}
+    b = {r["id"]: r["rank"] for r in alt.state.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-9)
+
+
+@pytest.mark.parametrize("strat", ["bhj", "csr_bcast"])
+def test_pagerank_strategies_tolerance_mode(dangling_dag, strat):
+    """Tolerance mode under the mirror strategies: converges to the
+    1e-8 fixpoint and conserves unit mass with dangling sinks."""
+    res = pagerank(dangling_dag, tol=1e-8, max_iters=100, strategy=strat, n_blocks=4)
+    total = res.state.agg(F.sum("rank")).collect()[0][0]
+    assert res.converged
+    assert math.isclose(total, 1.0, rel_tol=1e-6)

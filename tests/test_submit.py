@@ -1,0 +1,73 @@
+"""spark-submit --py-files packaging smoke (BASELINE.json:14: the
+engine ships as spark-submit jobs and resumes from checkpoints).
+
+Runs the real ``spark-submit`` binary in a subprocess against
+``dist/quiver_spark.zip`` built by tools/package.py — the same
+artifact a cluster submit would use. PYTHONPATH is scrubbed from the
+child env so the import genuinely comes from the zip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spark_submit = shutil.which("spark-submit")
+pytestmark = pytest.mark.skipif(spark_submit is None, reason="spark-submit not on PATH")
+
+
+def _submit(tmp_path, *job_args: str) -> dict:
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    import package
+
+    zip_path = package.build(str(tmp_path / "quiver_spark.zip"))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["SPARK_GRAFT_CPUS"] = "4"
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(ROOT, "jobs", "run.py"),
+            *job_args,
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=str(tmp_path),  # NOT the repo root: the zip must supply the package
+        timeout=600,
+    )
+    assert out.returncode == 0, f"spark-submit failed:\n{out.stdout[-3000:]}\n{out.stderr[-3000:]}"
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def test_submit_pagerank_job(tmp_path):
+    res = _submit(
+        tmp_path,
+        "pagerank",
+        "--synthesize",
+        "--n-files", "300",
+        "--output", str(tmp_path / "ranks"),
+        "--run-dir", str(tmp_path / "ckpt"),
+        "--num-iters", "5",
+        "--strategy", "auto",
+    )
+    assert res["job"] == "pagerank"
+    assert res["supersteps"] == 5
+    # durable checkpoint artifacts exist (resumability evidence)
+    assert any(f.startswith("_DONE_k=") for f in os.listdir(tmp_path / "ckpt"))
+    assert os.path.exists(tmp_path / "ckpt" / "metrics.jsonl")
+    # output parquet written
+    import duckdb
+
+    n = duckdb.sql(f"select count(*) from '{tmp_path}/ranks/*.parquet'").fetchone()[0]
+    assert n > 0
