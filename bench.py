@@ -81,6 +81,30 @@ def main() -> None:
         "edges_per_sec": round(supersteps * n_edges / pr_wall, 1),
     }
 
+    # --- throughput probe: power-law graph big enough that per-superstep
+    # kernel work, not fixed scheduling cost, sets the rate (the repo
+    # graph above is ~200k edges at sf0.1 — too small to measure e/s)
+    n_pl_e, n_pl_v, pl_iters = int(sf * 50_000_000), int(sf * 5_000_000), 8
+    pl = ing.synthesize_powerlaw_edges(spark, n_vertices=n_pl_v, n_edges=n_pl_e, seed=42)
+    from quiver_spark.graph import Graph
+
+    gpl = Graph.from_edges(pl)
+    gpl.persist()
+    gpl.count_edges()
+    res_pl = timed(
+        "pagerank_powerlaw_fixed8",
+        lambda: pagerank(gpl, num_iters=pl_iters, strategy="bhj"),
+    )
+    steady = [m["wall_ms"] for m in res_pl.metrics][2:]
+    extra["pagerank_powerlaw"] = {
+        "n_edges": n_pl_e,
+        "n_vertices": n_pl_v,
+        "supersteps": pl_iters,
+        "steady_supersteps_per_sec": round(len(steady) / (sum(steady) / 1000.0), 3),
+        "steady_edges_per_sec": round(len(steady) * n_pl_e / (sum(steady) / 1000.0), 1),
+    }
+    gpl.unpersist()
+
     timed("connected_components", lambda: connected_components(g, max_iters=50).state.count())
     timed("triangle_count", lambda: triangle_count(g))
     timed("label_propagation_5", lambda: label_propagation(g, label_col="lang", num_iters=5).state.count())

@@ -362,6 +362,20 @@ class Graph:
             lambda pdf: kernel(pdf.drop(columns=["_bucket"])), schema
         )
 
+    def gfiltermap(self, kernel, vschema) -> Graph:
+        """quiver ``gfiltermap`` [pub: Graph.scala#gfiltermap]: the
+        kernel sees every context and returns zero-or-one vertex rows
+        (``vschema`` must contain ``id``) — a filter+rewrite in one
+        pass. Dropped vertices cascade their incident edges
+        (labfilter semantics); surviving edges keep their labels.
+        """
+        new_v = self.gmap(kernel, vschema)
+        vids = new_v.select("id")
+        e = self.edges.join(vids.withColumnRenamed("id", "src"), "src", "left_semi").join(
+            vids.withColumnRenamed("id", "dst"), "dst", "left_semi"
+        )
+        return Graph(new_v, e)
+
     def fold_contexts(self, agg_exprs: Sequence[Column]) -> DataFrame:
         """quiver ``fold``/``ufold`` [pub: Graph.scala#fold], restricted
         to commutative-monoid folds (SURVEY.md §7 hard part (c)):

@@ -279,6 +279,144 @@ def q_remove_nations_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reverse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reverse flips every labeled edge [pub: Graph.scala#reverse] —
+    pure projection, no shuffle (verified: plan has no Exchange)."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    return g.reverse().edges.select("src", "dst", "etype")
+
+
+def q_nmap_upper_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nmap maps vertex labels in place [pub: Graph.scala#nmap]."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    return g.nmap(name=F.upper(F.col("name"))).vertices.filter(
+        F.col("kind") == "nation"
+    ).select("id", "name")
+
+
+def q_emap_weight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """emap maps edge labels [pub: Graph.scala#emap]: relabel each
+    hierarchy edge with a synthetic weight class, histogram it."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    m = g.emap(etype=((F.col("src") + F.col("dst")) % 7).cast("long").cast("string"))
+    return m.edges.groupBy(F.col("etype").alias("wclass")).agg(F.count(F.lit(1)).alias("n_edges"))
+
+
+def q_efilter_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """efilter keeps passing edges, vertices untouched
+    [pub: Graph.scala#efilter]."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    f = g.efilter(F.col("etype") == "in_nation")
+    return spark.createDataFrame(
+        [(f.count_nodes(), f.count_edges())], "n_vertices long, n_edges long"
+    )
+
+
+def q_vmap_shift_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vmap relabels vertex ids injectively and remaps both edge
+    endpoints through a join [pub: Graph.scala#vmap]."""
+    g = tg.admin_graph(spark, sf_dir)
+    m = g.vmap(F.col("id") * 2 + 1)
+    return m.edges.select("src", "dst")
+
+
+def q_neighbors_nation0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neighbors = in ∪ out adjacency of one vertex
+    [pub: Graph.scala#neighbors]."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    return g.neighbors(tg.N + 0).select("id")
+
+
+def q_out_edges_nation0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """outEdges(v): incident labeled out-edges
+    [pub: Graph.scala#outEdges]."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    return g.out_edges(tg.N + 0).select("src", "dst", "etype")
+
+
+def q_remove_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """removeEdge drops ALL parallel edges of each (src,dst) pair
+    [pub: Graph.scala#removeEdge]: removing every supplier→nation pair
+    leaves the customer+nation edges only."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    pairs = g.edges.filter((F.col("src") >= tg.S) & (F.col("src") < tg.O)).select("src", "dst")
+    r = g.remove_edges(pairs)
+    return r.edges.agg(F.count(F.lit(1)).alias("n_edges"))
+
+
+def q_update_region_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """updateNode replaces a vertex label by id (upsert)
+    [pub: Graph.scala#updateNode]."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    regions = g.vertices.filter(F.col("kind") == "region").select(
+        "id", F.lit("RELABELED").alias("name"), "kind"
+    )
+    u = g.update_nodes(regions)
+    return u.vertices.filter(F.col("kind") == "region").select("id", "name")
+
+
+def q_gfiltermap_internal_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gfiltermap: one vectorized pass filters contexts and rewrites
+    labels [pub: Graph.scala#gfiltermap] — keep only vertices with
+    incoming edges (internal nodes), relabeled with total degree;
+    incident edges of dropped vertices cascade away."""
+    import pandas as pd
+
+    g = tg.hierarchy_graph(spark, sf_dir)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_in = pdf["in_adj"].str.len()
+        keep = pdf[n_in > 0]
+        return pd.DataFrame(
+            {"id": keep["id"], "degree": keep["in_adj"].str.len() + keep["out_adj"].str.len()}
+        )
+
+    sub = g.gfiltermap(kernel, "id long, degree long")
+    return sub.vertices.join(
+        sub.edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("n_out")),
+        "id",
+        "left",
+    ).select("id", "degree", F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"))
+
+
+def q_select_hub_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select(p): contexts matching a predicate
+    [pub: Graph.scala#select] — hubs with in-degree ≥ 5."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    return g.select_contexts(F.size("in_adj") >= 5).select(
+        "id", F.size("in_adj").cast("long").alias("n_in")
+    )
+
+
+def q_udfs_reach_supplier1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """udfs: traversal ignoring direction [pub: Graph.scala#udfs] =
+    reachability over undir(g) — supplier 1's undirected closure in
+    the admin graph."""
+    g = tg.admin_graph(spark, sf_dir)
+    return traverse.reachable(g.undir(), tg.S + 1, direction="out")
+
+
+def q_pagerank_hierarchy_bhj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same superstep algebra through the zero-exchange broadcast-
+    mirror strategy (BENCH/BASELINE.md) — oracle-identical to the smj
+    path, proving the physical rewrite is value-exact."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    res = pagerank(g, damping=PR_DAMPING, num_iters=PR_ITERS, strategy="bhj", n_blocks=16)
+    return res.state.select(
+        "id", F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("long").alias("rank_e9")
+    )
+
+
+def q_pagerank_hierarchy_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same algebra through the numpy-mirror CSR kernel strategy
+    (zero shuffle per superstep)."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    res = pagerank(g, damping=PR_DAMPING, num_iters=PR_ITERS, strategy="csr_bcast", n_blocks=16)
+    return res.state.select(
+        "id", F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("long").alias("rank_e9")
+    )
+
+
 # ----------------------------------------------------- repo-graph queries
 # (no DuckDB view of the synthetic repo table → rows-only checks)
 def _repo_n_files(sf_dir: str) -> int:
@@ -539,6 +677,83 @@ SELECT CAST((SELECT count(*) FROM keep) AS BIGINT) AS n_vertices,
        CAST((SELECT count(*) FROM e
              WHERE e.src IN (SELECT id FROM keep) AND e.dst IN (SELECT id FROM keep)) AS BIGINT) AS n_edges
 """,
+    "reverse_edges": """
+SELECT CAST(1000000 + n_regionkey AS BIGINT) AS src, CAST(2000000 + n_nationkey AS BIGINT) AS dst, 'in_region' AS etype FROM nation
+UNION ALL SELECT CAST(2000000 + c_nationkey AS BIGINT), CAST(3000000 + c_custkey AS BIGINT), 'in_nation' FROM customer
+UNION ALL SELECT CAST(2000000 + s_nationkey AS BIGINT), CAST(4000000 + s_suppkey AS BIGINT), 'in_nation' FROM supplier
+""",
+    "nmap_upper_nations": """
+SELECT CAST(2000000 + n_nationkey AS BIGINT) AS id, upper(n_name) AS name FROM nation
+""",
+    "emap_weight_histogram": f"""
+WITH {_HIER_E.strip()}
+SELECT CAST((src + dst) % 7 AS VARCHAR) AS wclass, CAST(count(*) AS BIGINT) AS n_edges
+FROM e GROUP BY 1
+""",
+    "efilter_in_nation": f"""
+WITH {_HIER_V.strip()}
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_vertices,
+       CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS BIGINT) AS n_edges
+""",
+    "vmap_shift_ids": """
+SELECT CAST(2 * (2000000 + n_nationkey) + 1 AS BIGINT) AS src,
+       CAST(2 * (1000000 + n_regionkey) + 1 AS BIGINT) AS dst FROM nation
+UNION ALL
+SELECT CAST(2 * (4000000 + s_suppkey) + 1 AS BIGINT),
+       CAST(2 * (2000000 + s_nationkey) + 1 AS BIGINT) FROM supplier
+""",
+    "neighbors_nation0": """
+SELECT DISTINCT id FROM (
+  SELECT CAST(1000000 + n_regionkey AS BIGINT) AS id FROM nation WHERE n_nationkey = 0
+  UNION SELECT CAST(3000000 + c_custkey AS BIGINT) FROM customer WHERE c_nationkey = 0
+  UNION SELECT CAST(4000000 + s_suppkey AS BIGINT) FROM supplier WHERE s_nationkey = 0
+)
+""",
+    "out_edges_nation0": """
+SELECT CAST(2000000 AS BIGINT) AS src, CAST(1000000 + n_regionkey AS BIGINT) AS dst, 'in_region' AS etype
+FROM nation WHERE n_nationkey = 0
+""",
+    "remove_supplier_edges": """
+SELECT CAST((SELECT count(*) FROM nation) + (SELECT count(*) FROM customer) AS BIGINT) AS n_edges
+""",
+    "update_region_names": """
+SELECT CAST(1000000 + r_regionkey AS BIGINT) AS id, 'RELABELED' AS name FROM region
+""",
+    "gfiltermap_internal_degree": f"""
+WITH {_HIER_V.strip()}, {_HIER_E.strip()},
+deg AS (
+  SELECT v.id,
+         (SELECT count(*) FROM e WHERE e.dst = v.id) AS n_in,
+         (SELECT count(*) FROM e WHERE e.src = v.id) AS n_out_full
+  FROM v
+),
+keep AS (SELECT id, n_in + n_out_full AS degree FROM deg WHERE n_in > 0)
+SELECT k.id, CAST(k.degree AS BIGINT) AS degree,
+       CAST((SELECT count(*) FROM e
+             WHERE e.src = k.id AND e.dst IN (SELECT id FROM keep)) AS BIGINT) AS n_out
+FROM keep k
+""",
+    "select_hub_contexts": f"""
+WITH {_HIER_V.strip()}, {_HIER_E.strip()}
+SELECT dst AS id, CAST(count(*) AS BIGINT) AS n_in FROM e GROUP BY dst HAVING count(*) >= 5
+""",
+    "udfs_reach_supplier1": f"""
+WITH RECURSIVE {_HIER_V.strip()}, {_HIER_E.strip()},
+av(id) AS (SELECT id FROM v WHERE kind IN ('region','nation','supplier')),
+ae(src, dst) AS (
+  SELECT e.src, e.dst FROM e
+  JOIN av a ON a.id = e.src JOIN av b ON b.id = e.dst
+),
+und(u, w) AS (SELECT src, dst FROM ae UNION SELECT dst, src FROM ae),
+reach(id) AS (
+  SELECT CAST(4000001 AS BIGINT)
+  UNION
+  SELECT und.w FROM und JOIN reach ON und.u = reach.id
+)
+SELECT id FROM reach
+""",
+    "pagerank_hierarchy_bhj": _pagerank_oracle_sql(),
+    "pagerank_hierarchy_mirror": _pagerank_oracle_sql(),
     "labelprop_nations": _labelprop_oracle_sql(),
     "multigraph_edge_count": """
 SELECT CAST(count(*) AS BIGINT) AS n_edges FROM (
@@ -588,6 +803,20 @@ QUERIES = {
     "labelprop_nations": q_labelprop_nations,
     "multigraph_edge_count": q_multigraph_edge_count,
     "cheapest_path_costs": q_cheapest_path_costs,
+    "reverse_edges": q_reverse_edges,
+    "nmap_upper_nations": q_nmap_upper_nations,
+    "emap_weight_histogram": q_emap_weight_histogram,
+    "efilter_in_nation": q_efilter_in_nation,
+    "vmap_shift_ids": q_vmap_shift_ids,
+    "neighbors_nation0": q_neighbors_nation0,
+    "out_edges_nation0": q_out_edges_nation0,
+    "remove_supplier_edges": q_remove_supplier_edges,
+    "update_region_names": q_update_region_names,
+    "gfiltermap_internal_degree": q_gfiltermap_internal_degree,
+    "select_hub_contexts": q_select_hub_contexts,
+    "udfs_reach_supplier1": q_udfs_reach_supplier1,
+    "pagerank_hierarchy_bhj": q_pagerank_hierarchy_bhj,
+    "pagerank_hierarchy_mirror": q_pagerank_hierarchy_mirror,
     # rows-only (no DuckDB view of the synthetic repo table)
     "repo_pagerank_top": q_repo_pagerank_top,
     "repo_components": q_repo_components,
