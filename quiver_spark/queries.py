@@ -417,6 +417,162 @@ def q_pagerank_hierarchy_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- training-data pipeline queries
+# (documents / embeddings tables + deterministic multimodal assets —
+# the dedup / similarity / text-analysis / multimodal surface)
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quiver_spark import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", textops.token_count("text").alias("n_tokens"))
+
+
+def q_doc_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count("text", F.lit(r"[!?.,;:]")).cast("long").alias("punct_hits"),
+        F.regexp_count("text", F.lit(r"[0-9]")).cast("long").alias("digit_hits"),
+    )
+
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quiver_spark import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.langid(docs)
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quiver_spark import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.fingerprint(docs)
+
+
+def q_doc_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quiver_spark import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = dedup.dedup_exact(docs)
+    return kept.agg(F.count(F.lit(1)).alias("n_unique_docs"))
+
+
+def q_doc_exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quiver_spark import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = dedup.exact_duplicate_groups(docs)
+    return g.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_groups"),
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_dup_docs"),
+    )
+
+
+def q_doc_min_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quiver_spark import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.min_shingle_fingerprint(docs, k=3)
+
+
+def q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quiver_spark import simsearch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    top = simsearch.cosine_topk(emb, [float(x) for x in qvec], k=10)
+    return top.select("vec_id", F.floor(F.col("cos") * 1e6 + F.lit(0.5)).cast("long").alias("cos_e6"))
+
+
+def q_emb_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute all-pairs cosine ≥ 0.35 (a < b) — the exactness baseline
+    the LSH-bucketed path is measured against."""
+    from quiver_spark import simsearch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", simsearch.cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .filter(F.col("cos") >= 0.35)
+        .select("a", "b")
+    )
+
+
+MM_N_ASSETS = 300
+
+
+def q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quiver_spark import multimodal
+
+    assets = multimodal.synthesize_assets(spark, MM_N_ASSETS, seed=42)
+    return multimodal.resize_meta(assets, max_side=256)
+
+
+def q_mm_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quiver_spark import multimodal
+
+    assets = multimodal.synthesize_assets(spark, MM_N_ASSETS, seed=42)
+    return (
+        multimodal.frame_sample_plan(assets, every_ms=1000)
+        .groupBy("asset_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+
+
+def q_mm_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quiver_spark import multimodal
+
+    assets = multimodal.synthesize_assets(spark, MM_N_ASSETS, seed=42)
+    feats = multimodal.extract_features(assets)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.max(F.size("feature")).cast("long").alias("dim"),
+    )
+
+
+# rows-only pipeline queries (xxhash64-based signatures have no DuckDB
+# twin; LSH recall is a measurement, not an equality)
+def q_doc_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quiver_spark import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.near_duplicate_pairs(docs, threshold=0.5)
+    return pairs.agg(F.count(F.lit(1)).alias("n_near_dup_pairs")).select(
+        F.lit(1).alias("probe"), "n_near_dup_pairs"
+    )
+
+
+def q_doc_simhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quiver_spark import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sim = dedup.simhash64(docs)
+    cand = dedup.simhash_candidate_pairs(sim)
+    return spark.createDataFrame(
+        [(sim.count(), cand.count())], "n_signatures long, n_band_pairs long"
+    )
+
+
+def q_emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH multiprobe vs the brute oracle
+    for query vec_id 0 — the ANN quality metric, reported as a row."""
+    from quiver_spark import simsearch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    brute = {r["vec_id"] for r in simsearch.cosine_topk(emb, qvec, k=10).collect()}
+    bucketed = simsearch.lsh_bucket(emb, n_bits=8)
+    approx = {r["vec_id"] for r in simsearch.lsh_probe_topk(bucketed, qvec, k=10, n_bits=8).collect()}
+    return spark.createDataFrame(
+        [(len(brute & approx), len(brute))], "hits long, k long"
+    )
+
+
 # ----------------------------------------------------- repo-graph queries
 # (no DuckDB view of the synthetic repo table → rows-only checks)
 def _repo_n_files(sf_dir: str) -> int:
@@ -480,6 +636,32 @@ def _pagerank_oracle_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
         f"\nSELECT id, CAST(floor(rank * 1e9 + 0.5) AS BIGINT) AS rank_e9 FROM r{iters}"
     )
     return "\n".join(parts)
+
+
+def _langid_oracle_sql() -> str:
+    """Per-language marker-hit argmax with min-lang tie-break — the
+    SQL twin of quiver_spark.textops.langid (same marker lists)."""
+    from quiver_spark.textops import LANG_MARKERS
+
+    per_lang = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        hits = " + ".join(rf"len(regexp_extract_all(text, '\b{w}\b'))" for w in words)
+        per_lang.append(f"SELECT doc_id, '{lang}' AS lang, {hits} AS hits FROM documents")
+    union = "\n  UNION ALL ".join(per_lang)
+    return f"""
+WITH langs AS (
+  {union}
+),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+  FROM langs
+)
+SELECT doc_id,
+       CASE WHEN hits = 0 THEN 'und' ELSE lang END AS lang_pred,
+       CAST(hits AS BIGINT) AS marker_hits
+FROM best WHERE rn = 1
+"""
 
 
 def _labelprop_oracle_sql(rounds: int = LP_ROUNDS) -> str:
@@ -754,6 +936,86 @@ SELECT id FROM reach
 """,
     "pagerank_hierarchy_bhj": _pagerank_oracle_sql(),
     "pagerank_hierarchy_mirror": _pagerank_oracle_sql(),
+    "doc_token_counts": r"""
+SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+    "doc_quality_counts": r"""
+SELECT doc_id,
+       CAST(len(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '[!?.,;:]')) AS BIGINT) AS punct_hits,
+       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_hits
+FROM documents
+""",
+    "doc_langid": _langid_oracle_sql(),
+    "doc_fingerprints": r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+""",
+    "doc_dedup_count": r"""
+SELECT CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_unique_docs
+FROM documents
+""",
+    "doc_exact_dup_stats": r"""
+WITH g AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, count(*) AS n
+  FROM documents GROUP BY 1 HAVING count(*) > 1
+)
+SELECT CAST(COALESCE(count(*), 0) AS BIGINT) AS n_groups,
+       CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_dup_docs
+FROM g
+""",
+    "doc_min_shingle": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(t) >= 3 THEN
+         list_aggregate(
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> md5(array_to_string(list_slice(t, i, i + 2), ' '))),
+           'min')
+       ELSE NULL END AS min_shingle_md5
+FROM toks
+""",
+    "emb_topk_cosine": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) * 1e6 + 0.5) AS BIGINT) AS cos_e6
+FROM embeddings, q
+ORDER BY cos_e6 DESC, vec_id ASC
+LIMIT 10
+""",
+    "emb_pairs_above": """
+SELECT x.vec_id AS a, y.vec_id AS b
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])) >= 0.35
+""",
+    "mm_resize_plan": """
+WITH a AS (
+  SELECT CAST(i AS BIGINT) AS asset_id,
+         CAST(64 + (i * 7) % 512 AS INT) AS width,
+         CAST(64 + (i * 11) % 512 AS INT) AS height
+  FROM range(0, 300) t(i) WHERE i % 3 = 0
+),
+s AS (SELECT *, least(1.0, 256.0 / greatest(width, height)) AS sc FROM a)
+SELECT asset_id, width, height,
+       CAST(round(width * sc) AS INT) AS out_width,
+       CAST(round(height * sc) AS INT) AS out_height
+FROM s
+""",
+    "mm_frame_counts": """
+SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST((1000 + (i * 13) % 60000 - 1) // 1000 + 1 AS BIGINT) AS n_frames
+FROM range(0, 300) t(i) WHERE i % 3 = 2
+""",
+    "mm_feature_stats": """
+SELECT CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(16 AS BIGINT) AS dim
+FROM range(0, 300) t(i)
+GROUP BY 1
+""",
     "labelprop_nations": _labelprop_oracle_sql(),
     "multigraph_edge_count": """
 SELECT CAST(count(*) AS BIGINT) AS n_edges FROM (
@@ -817,6 +1079,22 @@ QUERIES = {
     "udfs_reach_supplier1": q_udfs_reach_supplier1,
     "pagerank_hierarchy_bhj": q_pagerank_hierarchy_bhj,
     "pagerank_hierarchy_mirror": q_pagerank_hierarchy_mirror,
+    "doc_token_counts": q_doc_token_counts,
+    "doc_quality_counts": q_doc_quality_counts,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprints": q_doc_fingerprints,
+    "doc_dedup_count": q_doc_dedup_count,
+    "doc_exact_dup_stats": q_doc_exact_dup_stats,
+    "doc_min_shingle": q_doc_min_shingle,
+    "emb_topk_cosine": q_emb_topk_cosine,
+    "emb_pairs_above": q_emb_pairs_above,
+    "mm_resize_plan": q_mm_resize_plan,
+    "mm_frame_counts": q_mm_frame_counts,
+    "mm_feature_stats": q_mm_feature_stats,
+    # rows-only pipeline metrics
+    "doc_near_dup_stats": q_doc_near_dup_stats,
+    "doc_simhash_stats": q_doc_simhash_stats,
+    "emb_lsh_recall": q_emb_lsh_recall,
     # rows-only (no DuckDB view of the synthetic repo table)
     "repo_pagerank_top": q_repo_pagerank_top,
     "repo_components": q_repo_components,

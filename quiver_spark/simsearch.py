@@ -1,0 +1,197 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two regimes (the task brief's ANN requirement):
+
+- **Brute-force cosine top-k** — the exactness baseline. The score is
+  pure JVM (`aggregate`/`zip_with` fold in float64), so it is
+  oracle-checkable against DuckDB's ``list_cosine_similarity`` (same
+  left-to-right float64 fold over the same float32 inputs).
+- **LSH-bucketed (random hyperplane)** — the scale path: a seeded
+  hyperplane matrix (deterministic, regenerated identically on every
+  executor — no fit step, no driver state) signs each vector into a
+  b-bit bucket; queries probe their own bucket plus all hamming-1
+  neighbors. Bucketing is a vectorized Arrow kernel (one matmul per
+  batch); at 100 TB the bucketed table is written partitioned by
+  bucket so a query probes ≤ b+1 partitions instead of scanning
+  everything.
+
+Embedding-cosine near-dup pairs reuse the same bucketer: candidate
+pairs within a bucket, exact cosine verify — mirrors the
+minhash→LSH→verify shape in quiver_spark.dedup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Float64 left-to-right dot-product fold (JVM higher-order fns)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one literal query vector.
+
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on the driver, no full sort/shuffle.
+    Deterministic tie-break on id.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """Deterministic gaussian hyperplanes — same bytes on every
+    executor, any partitioning (seeded Philox via numpy Generator)."""
+    return np.random.default_rng(seed).standard_normal((dim, n_bits))
+
+
+def lsh_bucket(
+    emb: DataFrame,
+    n_bits: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, bucket): random-hyperplane sign bucket per
+    vector. One Arrow-batched matmul per batch — no per-row Python."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy())
+            if planes is None:
+                planes = _hyperplanes(mat.shape[1], n_bits, seed)
+            bits = (mat.astype(np.float64) @ planes) > 0
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "bucket": bits @ weights,
+                }
+            )
+
+    schema = f"{id_col} long, {vec_col} array<float>, bucket long"
+    return emb.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def lsh_probe_topk(
+    bucketed: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_bits: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's bucket or any
+    hamming-1 neighbor bucket (multiprobe). Recall < 1 by design;
+    the brute path is the oracle."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    planes = _hyperplanes(len(query_vec), n_bits, seed)
+    bits = (qv @ planes) > 0
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    base = int(bits @ weights)
+    probes = [base] + [base ^ (1 << i) for i in range(n_bits)]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Exact k-NN of every query vector against the corpus: one
+    blocked matmul per (corpus-partition × broadcast query matrix)
+    Arrow kernel, then a global per-query top-k. The query side must
+    be broadcast-sized (it is collected to numpy); the corpus side
+    streams partition-local."""
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    qids = qpdf[query_id_col].to_numpy(np.int64)
+    qmat = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    sc = emb.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qmat, qn))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q, norm_q = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cn = np.linalg.norm(cmat, axis=1)
+            cn[cn == 0] = 1.0
+            sims = (cmat @ mat_q.T) / cn[:, None] / norm_q[None, :]
+            n_c, n_q = sims.shape
+            kk = min(k, n_c)
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(ids_q, kk),
+                    id_col: pdf[id_col].to_numpy(np.int64)[top.T.ravel()],
+                    "cos": np.take_along_axis(sims, top, axis=0).T.ravel(),
+                }
+            )
+
+    partial = emb.select(id_col, vec_col).mapInPandas(gen, f"{query_id_col} long, {id_col} long, cos double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return partial.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cos) pairs above threshold, found via same-bucket
+    candidates + exact cosine verify (near-identical vectors agree on
+    every hyperplane sign with high probability)."""
+    b = lsh_bucket(emb, n_bits, seed, id_col, vec_col)
+    left = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"), "bucket")
+    right = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"), "bucket")
+    cand = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
+    scored = cand.select("a", "b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+    return scored.filter(F.col("cos") >= threshold)

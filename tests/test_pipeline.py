@@ -1,0 +1,192 @@
+"""Training-data pipeline operators: planted-case exactness tests
+(dedup, minhash/LSH near-dup, simhash, ANN, text analysis, multimodal
+plumbing) — complements the DuckDB parity layer in test_oracle_parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quiver_spark import dedup, multimodal, simsearch, textops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again until done"
+
+
+# ------------------------------------------------------------------ dedup
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    df = _docs(spark, [BASE, "  The  QUICK brown fox jumps over the lazy dog again and again until done ", "something else entirely different words here"])
+    groups = dedup.exact_duplicate_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["keep_id"] == 0
+    kept = dedup.dedup_exact(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2]
+
+
+def test_minhash_lsh_finds_planted_near_duplicate(spark):
+    near = BASE.replace("lazy", "sleepy")  # one-token edit → high jaccard
+    far = "completely unrelated text with different content and no overlap at all whatsoever in any shingle"
+    df = _docs(spark, [BASE, near, far])
+    pairs = dedup.near_duplicate_pairs(df, threshold=0.3).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(0, 1)}
+    jac = pairs[0]["jaccard"]
+    # 13 tokens → 11 shingles; a middle-token edit breaks 3 of them
+    assert 0.3 <= jac < 1.0
+
+
+def test_minhash_identical_docs_full_signature_match(spark):
+    df = _docs(spark, [BASE, BASE])
+    sig = dedup.minhash_signatures(df).collect()
+    s = {r["doc_id"]: r["sig"] for r in sig}
+    assert s[0] == s[1]
+
+
+def test_simhash_near_texts_closer_than_far(spark):
+    near = BASE.replace("lazy", "sleepy")
+    far = "totally different words appear in this unrelated document about databases"
+    df = _docs(spark, [BASE, near, far])
+    s = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(s[0], s[1]) < ham(s[0], s[2])
+
+
+def test_simhash_band_pairs_catch_identical(spark):
+    df = _docs(spark, [BASE, BASE, "other words entirely different here now"])
+    sim = dedup.simhash64(df)
+    pairs = {(r["a"], r["b"]) for r in dedup.simhash_candidate_pairs(sim).collect()}
+    assert (0, 1) in pairs
+
+
+# -------------------------------------------------------------- simsearch
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    vecs[7] = vecs[0] * 0.99 + 0.01 * rng.standard_normal(8).astype(np.float32)  # planted near-dup of 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)], "vec_id long, embedding array<float>"
+    )
+    return df, vecs
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    df, vecs = emb
+    q = vecs[0].astype(np.float64)
+    cos = (vecs.astype(np.float64) @ q) / (np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q))
+    expect = list(np.lexsort((np.arange(40), -cos))[:5])
+    got = [r["vec_id"] for r in simsearch.cosine_topk(df, [float(x) for x in vecs[0]], k=5).collect()]
+    assert got == [int(i) for i in expect]
+    assert got[0] == 0 and 7 in got[:2]
+
+
+def test_knn_join_matches_brute(spark, emb):
+    df, vecs = emb
+    queries = df.limit(3).select(F.col("vec_id").alias("qid"), "embedding")
+    res = simsearch.knn_join(df, queries, k=3)
+    rows = res.collect()
+    assert len(rows) == 9
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    m = vecs.astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    for qid, ids in by_q.items():
+        cos = (m @ m[qid]) / (norms * norms[qid])
+        expect = [int(i) for i in np.lexsort((np.arange(40), -cos))[:3]]
+        assert ids == expect
+
+
+def test_lsh_probe_recall_reasonable(spark, emb):
+    df, vecs = emb
+    bucketed = simsearch.lsh_bucket(df, n_bits=6)
+    brute = {r["vec_id"] for r in simsearch.cosine_topk(df, [float(x) for x in vecs[0]], k=5).collect()}
+    approx = {
+        r["vec_id"]
+        for r in simsearch.lsh_probe_topk(bucketed, [float(x) for x in vecs[0]], k=5, n_bits=6).collect()
+    }
+    # multiprobe over hamming-1 must at least find the vector itself and
+    # its planted near-duplicate (they agree on ~every hyperplane)
+    assert 0 in approx
+    assert len(brute & approx) >= 2
+
+
+def test_embedding_near_dup_pairs_finds_planted(spark, emb):
+    df, _ = emb
+    pairs = {(r["a"], r["b"]) for r in simsearch.embedding_near_dup_pairs(df, threshold=0.95, n_bits=6).collect()}
+    assert (0, 7) in pairs
+
+
+# ---------------------------------------------------------------- textops
+def test_langid_marker_argmax_and_tiebreak(spark):
+    df = _docs(spark, ["el gato que vive en la casa de los gatos", "xyzzy plugh", "the cat and the dog of to in"])
+    out = {r["doc_id"]: (r["lang_pred"], r["marker_hits"]) for r in textops.langid(df).collect()}
+    assert out[0][0] == "es"
+    assert out[1] == ("und", 0)
+    assert out[2][0] == "en"
+
+
+def test_quality_score_orders_clean_above_noise(spark):
+    clean = "the house stands near the river and the trees grow tall in the quiet morning light"
+    noisy = "!!! ??? 123 456 ,,, ;;; 789 000 !!! ??? ... 111"
+    df = _docs(spark, [clean, noisy])
+    s = {r["doc_id"]: r["quality"] for r in textops.quality_score(df).collect()}
+    assert s[0] > s[1]
+
+
+def test_shingles_and_min_fingerprint(spark):
+    df = _docs(spark, ["a b c d", "x"])
+    sh = df.select("doc_id", textops.shingles("text", 3).alias("s")).collect()
+    m = {r["doc_id"]: r["s"] for r in sh}
+    assert m[0] == ["a b c", "b c d"]
+    assert m[1] == []
+    fp = {r["doc_id"]: r["min_shingle_md5"] for r in textops.min_shingle_fingerprint(df).collect()}
+    assert fp[0] is not None and fp[1] is None
+
+
+# ------------------------------------------------------------- multimodal
+def test_multimodal_synthesis_deterministic_and_typed(spark):
+    a1 = multimodal.synthesize_assets(spark, 30, seed=42, num_partitions=4)
+    a2 = multimodal.synthesize_assets(spark, 30, seed=42, num_partitions=7)
+    s1 = sorted((r["asset_id"], bytes(r["payload"])) for r in a1.collect())
+    s2 = sorted((r["asset_id"], bytes(r["payload"])) for r in a2.collect())
+    assert s1 == s2  # partitioning-independent bytes
+    kinds = {r["kind"] for r in a1.collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_multimodal_features_real_plumbing_fake_decode(spark):
+    assets = multimodal.synthesize_assets(spark, 30, seed=42)
+    feats = multimodal.extract_features(assets, decode="fake")
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in rows)
+    norms = [float(np.linalg.norm(r["feature"])) for r in rows]
+    assert all(abs(n - 1.0) < 1e-3 for n in norms)
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    assets = multimodal.synthesize_assets(spark, 5, seed=42)
+    feats = multimodal.extract_features(assets, decode="real")
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        feats.collect()
+
+
+def test_frame_sample_plan_counts(spark):
+    assets = multimodal.synthesize_assets(spark, 30, seed=42)
+    plan = multimodal.frame_sample_plan(assets, every_ms=1000)
+    counts = {r["asset_id"]: r["n_frames"] for r in plan.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_frames")).collect()}
+    for aid, n in counts.items():
+        dur = 1000 + (aid * 13) % 60000
+        assert n == (dur - 1) // 1000 + 1
