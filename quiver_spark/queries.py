@@ -417,6 +417,28 @@ def q_pagerank_hierarchy_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-sliced-graph demo (SURVEY.md §2.11/2.12): the user
+    transition multigraph — an edge u→v per consecutive event pair by
+    distinct users, weighted by occurrence count. Window+lag is the
+    Catalyst surface; at 100 TB you would sessionize per key instead
+    of a global order (this is the oracle-checkable demo shape)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.orderBy("ts", "event_id")
+    trans = (
+        ev.select(F.lag("user_id").over(w).alias("src"), F.col("user_id").alias("dst"))
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(trans)  # degree sanity: every src/dst becomes a vertex
+    return g.edges.select("src", "dst", "n_transitions")
+
+
 # ------------------------------------------- training-data pipeline queries
 # (documents / embeddings tables + deterministic multimodal assets —
 # the dedup / similarity / text-analysis / multimodal surface)
@@ -936,6 +958,14 @@ SELECT id FROM reach
 """,
     "pagerank_hierarchy_bhj": _pagerank_oracle_sql(),
     "pagerank_hierarchy_mirror": _pagerank_oracle_sql(),
+    "events_user_transitions": """
+WITH o AS (
+  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev FROM events
+)
+SELECT prev AS src, user_id AS dst, CAST(count(*) AS BIGINT) AS n_transitions
+FROM o WHERE prev IS NOT NULL AND prev <> user_id
+GROUP BY 1, 2
+""",
     "doc_token_counts": r"""
 SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
 FROM documents
@@ -1079,6 +1109,7 @@ QUERIES = {
     "udfs_reach_supplier1": q_udfs_reach_supplier1,
     "pagerank_hierarchy_bhj": q_pagerank_hierarchy_bhj,
     "pagerank_hierarchy_mirror": q_pagerank_hierarchy_mirror,
+    "events_user_transitions": q_events_user_transitions,
     "doc_token_counts": q_doc_token_counts,
     "doc_quality_counts": q_doc_quality_counts,
     "doc_langid": q_doc_langid,

@@ -50,7 +50,7 @@ def _submit(tmp_path, *job_args: str) -> dict:
     return json.loads(line)
 
 
-def test_submit_pagerank_job(tmp_path):
+def test_submit_pagerank_job_and_resume(tmp_path):
     res = _submit(
         tmp_path,
         "pagerank",
@@ -63,6 +63,7 @@ def test_submit_pagerank_job(tmp_path):
     )
     assert res["job"] == "pagerank"
     assert res["supersteps"] == 5
+    assert res["resumed_from"] == -1
     # durable checkpoint artifacts exist (resumability evidence)
     assert any(f.startswith("_DONE_k=") for f in os.listdir(tmp_path / "ckpt"))
     assert os.path.exists(tmp_path / "ckpt" / "metrics.jsonl")
@@ -71,3 +72,18 @@ def test_submit_pagerank_job(tmp_path):
 
     n = duckdb.sql(f"select count(*) from '{tmp_path}/ranks/*.parquet'").fetchone()[0]
     assert n > 0
+
+    # re-submit with a longer horizon against the SAME run-dir: the job
+    # must resume from the newest durable superstep, not restart
+    res2 = _submit(
+        tmp_path,
+        "pagerank",
+        "--synthesize",
+        "--n-files", "300",
+        "--output", str(tmp_path / "ranks2"),
+        "--run-dir", str(tmp_path / "ckpt"),
+        "--num-iters", "10",
+        "--strategy", "auto",
+    )
+    assert res2["resumed_from"] == 4
+    assert res2["supersteps"] == 5  # ran only 5..9
