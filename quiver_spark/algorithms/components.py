@@ -38,28 +38,70 @@ def connected_components(
     graph: Graph,
     max_iters: int = 50,
     algorithm: str = "hashmin",
+    strategy: str = "auto",
+    n_blocks: int | None = None,
     runner: SuperstepRunner | None = None,
 ) -> SuperstepResult:
-    """Returns SuperstepResult with state ``(id, component)``."""
+    """Returns SuperstepResult with state ``(id, component)``.
+
+    ``strategy`` (hashmin only): ``smj`` shuffles the pair table
+    through a sort-merge join every round; ``bhj`` is the
+    zero-exchange mirror — the pair table (with self-loops) persisted
+    hash-blocked by destination, the small state broadcast, and the
+    per-round min combined by ``groupBy(block, v)`` which Catalyst
+    runs partition-complete. The self-loop carries each vertex's own
+    component, so no second state join is needed anywhere in the hot
+    DAG (the lesson from PageRank's bhj: a second broadcast of the
+    state made late-round walls grow ~2x/step). ``auto`` mirrors
+    while the vertex state is broadcast-sized.
+    """
     if algorithm == "two_phase":
         return _two_phase_cc(graph, max_iters=max_iters, runner=runner)
     spark = graph.spark
     runner = runner or SuperstepRunner(spark)
-    und = _undirected_pairs(graph).persist()
-    und.count()
     state0 = graph.vertices.select("id", F.col("id").alias("component"))
+    if strategy == "auto":
+        n = graph.vertices.count()
+        strategy = "bhj" if n <= 50_000_000 else "smj"
+
+    if strategy == "bhj":
+        n_blocks = n_blocks or max(spark.sparkContext.defaultParallelism, 8)
+        und = (
+            _undirected_pairs(graph)
+            .unionByName(graph.vertices.select(F.col("id").alias("u"), F.col("id").alias("v")))
+            .dropDuplicates()
+            .withColumn("block", F.pmod(F.xxhash64("v"), F.lit(n_blocks)).cast("int"))
+            .repartition(n_blocks, "block")
+            .sortWithinPartitions("block", "v")
+            .persist()
+        )
+    else:
+        und = _undirected_pairs(graph).persist()
+    und.count()
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
-        nbr_min = (
-            und.join(state.withColumnRenamed("id", "u"), "u")
-            .groupBy(F.col("v").alias("id"))
-            .agg(F.min("component").alias("nbr_comp"))
-        )
-        new_state = (
-            state.join(nbr_min, "id", "left")
-            .select("id", F.least(F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))).alias("component"))
-        )
+        if strategy == "bhj":
+            # self-loops make the min over incoming messages total:
+            # every vertex hears its own component — one broadcast,
+            # zero exchanges, done
+            new_state = (
+                und.join(F.broadcast(state.withColumnRenamed("id", "u")), "u")
+                .groupBy("block", F.col("v").alias("id"))
+                .agg(F.min("component").alias("component"))
+                .select("id", "component")
+            )
+        else:
+            nbr_min = (
+                und.join(state.withColumnRenamed("id", "u"), "u")
+                .groupBy(F.col("v").alias("id"))
+                .agg(F.min("component").alias("nbr_comp"))
+            )
+            new_state = (
+                state.join(nbr_min, "id", "left")
+                .select("id", F.least(F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))).alias("component"))
+            )
         new_state = new_state.localCheckpoint()
+        new_state._qs_checkpointed = True  # noqa: SLF001 — runner contract
         changed = (
             new_state.join(state.select("id", F.col("component").alias("_old")), "id")
             .filter(F.col("component") != F.col("_old"))

@@ -30,15 +30,27 @@ def label_propagation(
     num_iters: int | None = None,
     max_iters: int = 20,
     direction: str = "both",
+    strategy: str = "smj",
+    n_blocks: int | None = None,
     runner: SuperstepRunner | None = None,
 ) -> SuperstepResult:
     """Returns SuperstepResult with state ``(id, label)``.
 
     ``num_iters`` pins the round count (oracle mode); otherwise stops
     when no vertex changes label (delta = #changed).
+
+    ``strategy="bhj"`` is the zero-exchange mirror round: messages
+    persisted hash-blocked by destination, state broadcast, histogram
+    + argmax + seed-fallback all partition-complete (a vertex that
+    never receives a message provably keeps its SEED label — labels
+    only change via messages — so the static blocked vertex frame can
+    carry the fallback and no second state join is needed).
+    ``auto`` mirrors while the state is broadcast-sized.
     """
     spark = graph.spark
     runner = runner or SuperstepRunner(spark)
+    if strategy == "auto":
+        strategy = "bhj" if graph.vertices.count() <= 50_000_000 else "smj"
     if direction == "both":
         msgs_edges = (
             graph.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -49,35 +61,76 @@ def label_propagation(
         msgs_edges = graph.edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).dropDuplicates()
     else:
         msgs_edges = graph.edges.select(F.col("dst").alias("u"), F.col("src").alias("v")).dropDuplicates()
-    msgs_edges = msgs_edges.persist()
-    msgs_edges.count()
-
     state0 = graph.vertices.select("id", F.col(label_col).cast("string").alias("label"))
     fixed = num_iters is not None
     total = num_iters if fixed else max_iters
+    persisted = []
+
+    if strategy == "bhj":
+        nb = n_blocks or max(spark.sparkContext.defaultParallelism, 8)
+        msgs_edges = (
+            msgs_edges.withColumn("block", F.pmod(F.xxhash64("v"), F.lit(nb)).cast("int"))
+            .repartition(nb, "block")
+            .sortWithinPartitions("block", "v")
+            .persist()
+        )
+        ids_b = (
+            state0.withColumnRenamed("label", "_seed")
+            .withColumn("block", F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int"))
+            .repartition(nb, "block")
+            .sortWithinPartitions("block", "id")
+            .persist()
+        )
+        ids_b.count()
+        persisted.append(ids_b)
+    else:
+        msgs_edges = msgs_edges.persist()
+    msgs_edges.count()
+    persisted.append(msgs_edges)
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
-        hist = (
-            msgs_edges.join(state.withColumnRenamed("id", "u"), "u")
-            .groupBy(F.col("v").alias("id"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        # argmax with min-label tie-break: keep rows at the per-id max
-        # count, then take the smallest label among them
-        maxc = hist.groupBy("id").agg(F.max("cnt").alias("maxc"))
-        best = (
-            hist.join(maxc, "id")
-            .filter(F.col("cnt") == F.col("maxc"))
-            .groupBy("id")
-            .agg(F.min("label").alias("new_label"))
-        )
-        new_state = (
-            state.join(best, "id", "left")
-            .select("id", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
-        )
+        if strategy == "bhj":
+            hist = (
+                msgs_edges.join(F.broadcast(state.withColumnRenamed("id", "u")), "u")
+                .groupBy("block", "v", "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            # hashpartitioning(block) satisfies every clustering below —
+            # the whole round is partition-complete after one broadcast
+            maxc = hist.groupBy("block", "v").agg(F.max("cnt").alias("maxc"))
+            best = (
+                hist.join(maxc, ["block", "v"])
+                .filter(F.col("cnt") == F.col("maxc"))
+                .groupBy("block", F.col("v").alias("id"))
+                .agg(F.min("label").alias("new_label"))
+            )
+            new_state = (
+                ids_b.join(best, ["block", "id"], "left")
+                .select("id", F.coalesce(F.col("new_label"), F.col("_seed")).alias("label"))
+            )
+        else:
+            hist = (
+                msgs_edges.join(state.withColumnRenamed("id", "u"), "u")
+                .groupBy(F.col("v").alias("id"), "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            # argmax with min-label tie-break: keep rows at the per-id max
+            # count, then take the smallest label among them
+            maxc = hist.groupBy("id").agg(F.max("cnt").alias("maxc"))
+            best = (
+                hist.join(maxc, "id")
+                .filter(F.col("cnt") == F.col("maxc"))
+                .groupBy("id")
+                .agg(F.min("label").alias("new_label"))
+            )
+            new_state = (
+                state.join(best, "id", "left")
+                .select("id", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
+            )
         if fixed:
             return new_state, None
         new_state = new_state.localCheckpoint()
+        new_state._qs_checkpointed = True  # noqa: SLF001 — runner contract
         changed = (
             new_state.join(state.select("id", F.col("label").alias("_old")), "id")
             .filter(F.col("label") != F.col("_old"))
@@ -88,4 +141,5 @@ def label_propagation(
     try:
         return runner.run(state0, step, tol=None if fixed else 0.0, max_iters=total)
     finally:
-        msgs_edges.unpersist()
+        for df in persisted:
+            df.unpersist()

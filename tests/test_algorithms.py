@@ -225,3 +225,32 @@ def test_pagerank_strategies_tolerance_mode(dangling_dag, strat):
     total = res.state.agg(F.sum("rank")).collect()[0][0]
     assert res.converged
     assert math.isclose(total, 1.0, rel_tol=1e-6)
+
+
+def test_cc_bhj_equals_smj(spark, two_cliques_bridge):
+    a = {r["id"]: r["component"] for r in connected_components(two_cliques_bridge, strategy="smj").state.collect()}
+    b = {r["id"]: r["component"] for r in connected_components(two_cliques_bridge, strategy="bhj").state.collect()}
+    assert a == b
+
+
+def test_lp_bhj_equals_smj(spark, two_cliques_bridge):
+    g = two_cliques_bridge
+    # seed labels: vertex id parity as string
+    from quiver_spark.graph import Graph
+
+    v = g.vertices.select("id", (F.col("id") % 2).cast("string").alias("lab"))
+    g2 = Graph(v, g.edges)
+    a = {r["id"]: r["label"] for r in label_propagation(g2, label_col="lab", num_iters=3, strategy="smj").state.collect()}
+    b = {r["id"]: r["label"] for r in label_propagation(g2, label_col="lab", num_iters=3, strategy="bhj", n_blocks=4).state.collect()}
+    assert a == b
+
+
+def test_lp_bhj_isolated_keeps_seed(spark):
+    from quiver_spark.graph import Graph
+
+    v = spark.createDataFrame([(1, "a"), (2, "b"), (99, "z")], "id long, lab string")
+    e = spark.createDataFrame([(1, 2, "x")], "src long, dst long, etype string")
+    g = Graph(v, e)
+    res = label_propagation(g, label_col="lab", num_iters=4, strategy="bhj", n_blocks=2)
+    out = {r["id"]: r["label"] for r in res.state.collect()}
+    assert out[99] == "z"
