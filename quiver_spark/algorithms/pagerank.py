@@ -170,6 +170,15 @@ def pagerank(
 
         blocked = keep(csr.blocked_edges(edges_w, n_blocks))
         blocked.count()
+    elif strategy == "csr_packed":
+        from quiver_spark import csr_packed
+
+        # CSR built once into per-block packed buffers; 1/outdeg folded
+        # into the per-superstep broadcast (static out-degrees)
+        packed, gids, inv_outdeg = csr_packed.build_packed_blocks(
+            graph.edges.select("src", "dst"), ids, n_blocks
+        )
+        persisted.append(packed)
     elif strategy == "csr_bcast":
         # persist pre-sorted by the cogroup key (and dst for the kernel's
         # reduceat fast-path) so the per-superstep Sort node is elided
@@ -317,7 +326,30 @@ def pagerank(
             .applyInPandas(kernel, "id long, rank double, dang boolean, delta double")
         )
 
-    bodies = {"smj": step_smj, "bhj": step_bhj, "csr": step_csr, "csr_bcast": step_csr_bcast}
+    def step_csr_packed(state: DataFrame) -> DataFrame:
+        from quiver_spark import csr_packed
+
+        pdf = state.select("id", "rank", "dang").toPandas()
+        ids_np = pdf["id"].to_numpy(np.int64)
+        rk = pdf["rank"].to_numpy(np.float64)
+        dsum = float(rk[pdf["dang"].to_numpy(bool)].sum())
+        order = np.argsort(ids_np, kind="stable")
+        out = csr_packed.superstep(
+            packed, rk[order], inv_outdeg, base, damping, dsum / float(n)
+        )
+        old = bcast_box[0]
+        bcast_box[0] = out._qs_broadcast  # noqa: SLF001
+        if old is not None:
+            old.unpersist(blocking=False)
+        return out
+
+    bodies = {
+        "smj": step_smj,
+        "bhj": step_bhj,
+        "csr": step_csr,
+        "csr_bcast": step_csr_bcast,
+        "csr_packed": step_csr_packed,
+    }
     body = bodies[strategy]
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:

@@ -203,7 +203,7 @@ def test_triangles_multigraph_and_selfloop_collapse(spark):
     assert triangle_count(g) == 1
 
 
-@pytest.mark.parametrize("strat", ["bhj", "csr", "csr_bcast"])
+@pytest.mark.parametrize("strat", ["bhj", "csr", "csr_bcast", "csr_packed"])
 def test_pagerank_strategies_equal_smj(two_cliques_bridge, strat):
     """Every physical strategy (mirror-broadcast JVM, cogrouped CSR,
     numpy-mirror CSR) is a rewrite of the same superstep algebra —
@@ -217,7 +217,7 @@ def test_pagerank_strategies_equal_smj(two_cliques_bridge, strat):
         assert math.isclose(a[k], b[k], rel_tol=1e-9)
 
 
-@pytest.mark.parametrize("strat", ["bhj", "csr_bcast"])
+@pytest.mark.parametrize("strat", ["bhj", "csr_bcast", "csr_packed"])
 def test_pagerank_strategies_tolerance_mode(dangling_dag, strat):
     """Tolerance mode under the mirror strategies: converges to the
     1e-8 fixpoint and conserves unit mass with dangling sinks."""
