@@ -85,7 +85,8 @@ def pagerank(
     tol: float | None = 1e-6,
     num_iters: int | None = None,
     max_iters: int = 100,
-    n_salts: int | None = None,
+    n_salts: int | str | None = None,
+    salt_rows_per_salt: int = 100_000,
     use_csr: bool = False,
     n_blocks: int | None = None,
     strategy: str | None = None,
@@ -149,9 +150,17 @@ def pagerank(
     # ------------------------------------------------------------------
     # strategy-specific prepared frames
     # ------------------------------------------------------------------
+    hot_dst = None
     if strategy == "smj":
         edges_w = keep(edges_w.repartition(n_blocks, "src").sortWithinPartitions("src"))
         edges_w.count()
+        if n_salts == "auto":
+            from quiver_spark import skew
+
+            # degree sketch of the static edge frame, once — salt count
+            # per hot dst ∝ its in-degree (SURVEY.md §4.3)
+            hot_dst = keep(skew.degree_sketch(edges_w, "dst", min_freq=salt_rows_per_salt))
+            hot_dst.count()
     elif strategy == "bhj":
         edges_w = keep(
             edges_w.withColumn("block", _block("dst", n_blocks))
@@ -222,8 +231,16 @@ def pagerank(
     def step_smj(state: DataFrame) -> DataFrame:
         contribs = edges_w.join(
             state.select(F.col("id").alias("src"), "rank"), "src"
-        ).select("dst", (F.col("rank") * F.col("w")).alias("c"))
-        if n_salts and n_salts > 1:
+        ).select("src", "dst", (F.col("rank") * F.col("w")).alias("c"))
+        if n_salts == "auto":
+            from quiver_spark import skew
+
+            summed = skew.salted_sum(
+                contribs, "dst", "c", "msum",
+                hot=hot_dst, rows_per_salt=salt_rows_per_salt,
+                salt_entropy=F.xxhash64(F.col("src")),
+            )
+        elif n_salts and n_salts > 1:
             summed = _salted_sum(contribs, "dst", "c", "msum", n_salts, salt_src="dst")
         else:
             summed = contribs.groupBy("dst").agg(F.sum("c").alias("msum"))

@@ -254,3 +254,22 @@ def test_lp_bhj_isolated_keeps_seed(spark):
     res = label_propagation(g, label_col="lab", num_iters=4, strategy="bhj", n_blocks=2)
     out = {r["id"]: r["label"] for r in res.state.collect()}
     assert out[99] == "z"
+
+
+def test_pagerank_adaptive_salting_equals_plain(spark):
+    """Degree-proportional salting (quiver_spark.skew) is a physical
+    rewrite: on a hub-heavy star graph with the salt floor forced to 2
+    rows/salt (so the hub really fans out), ranks match the unsalted
+    path exactly."""
+    from quiver_spark.graph import Graph
+
+    edges = [(i, 0, "e") for i in range(1, 30)] + [(0, 1, "e"), (5, 6, "e")]
+    e = spark.createDataFrame(edges, "src long, dst long, etype string")
+    g = Graph.from_edges(e)
+    plain = pagerank(g, num_iters=10)
+    salted = pagerank(g, num_iters=10, n_salts="auto", salt_rows_per_salt=2)
+    a = {r["id"]: r["rank"] for r in plain.state.collect()}
+    b = {r["id"]: r["rank"] for r in salted.state.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-9)
