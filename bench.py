@@ -93,7 +93,7 @@ def main() -> None:
     gpl.count_edges()
     res_pl = timed(
         "pagerank_powerlaw_fixed8",
-        lambda: pagerank(gpl, num_iters=pl_iters, strategy="bhj"),
+        lambda: pagerank(gpl, num_iters=pl_iters, strategy="csr_packed"),
     )
     steady = [m["wall_ms"] for m in res_pl.metrics][2:]
     extra["pagerank_powerlaw"] = {
