@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     repos = ing.synthesize_repo_table(spark, n_files=1000, n_repos=20, seed=42)
     g = ing.ingest(repos)
-    res = pagerank(g, tol=1e-6, max_iters=50)
+    res = pagerank(g, tol=1e-6, max_iters=50, strategy="auto")
     return (
         res.state.join(g.vertices, "id")
         .orderBy(F.desc("rank"), F.asc("id"))

@@ -12,7 +12,7 @@ on local[$SPARK_GRAFT_CPUS]:
 - hierarchy PageRank on the driver's TPC-H-ish tables (the
   oracle-checked query, timed at bench scale).
 
-Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+Scaling-efficiency evidence (N vs 4N cores, fixed data layout) is produced by
 ``bench/scaling.py`` (separate JVMs per parallelism level) and
 recorded in BENCH/BASELINE.md; set BENCH_SCALING=1 to run it from
 here too.
