@@ -66,7 +66,10 @@ def _load_graph(spark: SparkSession, args):
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="quiver-spark")
-    ap.add_argument("cmd", choices=["ingest", "pagerank", "components", "labelprop", "triangles", "synthesize"])
+    ap.add_argument(
+        "cmd",
+        choices=["ingest", "pagerank", "components", "labelprop", "triangles", "synthesize", "near-dups"],
+    )
     ap.add_argument("--input", help="repo table URI (repo,path,commit,lang,content)")
     ap.add_argument("--edges-input", help="pre-built edge table URI (src,dst,...) instead of --input")
     ap.add_argument("--output", required=True)
@@ -83,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint-every", type=int, default=5)
     ap.add_argument("--label-col", default="lang")
     ap.add_argument("--lp-iters", type=int, default=10)
+    ap.add_argument("--jaccard", type=float, default=0.7, help="near-dups verify threshold")
     args = ap.parse_args(argv)
 
     spark = _spark(args)
@@ -101,6 +105,16 @@ def main(argv: list[str] | None = None) -> int:
             "overwrite"
         ).parquet(args.output)
         print(json.dumps({"job": "synthesize", "n_files": args.n_files, "output": args.output}))
+        return 0
+
+    if args.cmd == "near-dups":
+        # documents near-duplicate pairs: minhash → LSH bands → jaccard
+        from quiver_spark import dedup
+
+        docs = _read(spark, args.input, args.format)
+        pairs = dedup.near_duplicate_pairs(docs, threshold=args.jaccard)
+        pairs.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"job": "near-dups", "pairs": spark.read.parquet(args.output).count()}))
         return 0
 
     g = _load_graph(spark, args)
