@@ -417,6 +417,27 @@ def q_pagerank_hierarchy_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_remove_ledge_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """removeLEdge drops only the exact labeled instance
+    [pub: Graph.scala#removeLEdge]: on the part→supplier multigraph
+    (parallel edges distinguished by l_returnflag), removing the
+    'R'-flagged instances leaves the other labeled instances of the
+    same (src,dst) pairs intact — unlike removeEdge."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.lit(tg.S) + F.col("l_suppkey")).cast("long").alias("dst"),
+        F.lit("supplies").alias("etype"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(edges)
+    r_edges = g.edges.filter(F.col("flag") == "R")
+    r = g.remove_ledges(r_edges)
+    return r.edges.agg(F.count(F.lit(1)).alias("n_edges"))
+
+
 def q_events_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-sliced-graph demo (SURVEY.md §2.11/2.12): the user
     transition multigraph — an edge u→v per consecutive event pair by
@@ -958,6 +979,14 @@ SELECT id FROM reach
 """,
     "pagerank_hierarchy_bhj": _pagerank_oracle_sql(),
     "pagerank_hierarchy_mirror": _pagerank_oracle_sql(),
+    "remove_ledge_flags": """
+SELECT CAST(count(*) AS BIGINT) AS n_edges FROM (
+  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+                  CAST(4000000 + l_suppkey AS BIGINT) AS dst,
+                  'supplies' AS etype, l_returnflag AS flag
+  FROM lineitem
+) WHERE flag <> 'R'
+""",
     "events_user_transitions": """
 WITH o AS (
   SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev FROM events
@@ -1109,6 +1138,7 @@ QUERIES = {
     "udfs_reach_supplier1": q_udfs_reach_supplier1,
     "pagerank_hierarchy_bhj": q_pagerank_hierarchy_bhj,
     "pagerank_hierarchy_mirror": q_pagerank_hierarchy_mirror,
+    "remove_ledge_flags": q_remove_ledge_flags,
     "events_user_transitions": q_events_user_transitions,
     "doc_token_counts": q_doc_token_counts,
     "doc_quality_counts": q_doc_quality_counts,
