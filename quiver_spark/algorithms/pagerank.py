@@ -66,7 +66,12 @@ from quiver_spark.superstep import SuperstepRunner, SuperstepResult
 
 def _salted_sum(df: DataFrame, key: str, value: str, out: str, n_salts: int, salt_src: str) -> DataFrame:
     """Two-phase aggregation: partial sum on (key, salt) then final on
-    key. Explicit skew defense for hot keys (BASELINE.json:6)."""
+    key. Explicit skew defense for hot keys (BASELINE.json:6).
+
+    ``salt_src`` must be a column *independent of* ``key`` (e.g. the
+    join's other side): hashing the group key itself would give every
+    row of one hot key the same salt, silently disabling the spread.
+    """
     partial = (
         df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)))
         .groupBy(key, "_salt")
@@ -241,7 +246,7 @@ def pagerank(
                 salt_entropy=F.xxhash64(F.col("src")),
             )
         elif n_salts and n_salts > 1:
-            summed = _salted_sum(contribs, "dst", "c", "msum", n_salts, salt_src="dst")
+            summed = _salted_sum(contribs, "dst", "c", "msum", n_salts, salt_src="src")
         else:
             summed = contribs.groupBy("dst").agg(F.sum("c").alias("msum"))
         joined = (

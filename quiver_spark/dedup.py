@@ -226,9 +226,18 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return votes.select(id_col, sig.alias("simhash"))
 
 
-def simhash_candidate_pairs(sim_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def simhash_candidate_pairs(
+    sim_df: DataFrame, id_col: str = "doc_id", max_bucket: int = 64
+) -> DataFrame:
     """(a, b) pairs sharing at least one of four 16-bit simhash bands —
-    catches every pair with hamming distance ≤ 3 (pigeonhole)."""
+    catches every pair with hamming distance ≤ 3 (pigeonhole).
+
+    Buckets wider than ``max_bucket`` are dropped before pairing
+    (same hot-bucket guard as :func:`lsh_candidate_pairs`): degenerate
+    corpora — empty/whitespace docs all hash to simhash 0, shared
+    boilerplate concentrates one band value — would otherwise make
+    the self-pairing quadratic in the hot bucket's width.
+    """
     bands = sim_df.select(
         F.col(id_col),
         F.explode(
@@ -243,11 +252,22 @@ def simhash_candidate_pairs(sim_df: DataFrame, id_col: str = "doc_id") -> DataFr
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bits")
-    a = bands.withColumnRenamed(id_col, "a")
-    b = bands.withColumnRenamed(id_col, "b")
-    return (
-        a.join(b, ["band", "bits"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
+    small = (
+        bands.groupBy("band", "bits")
+        .agg(F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
     )
+    pairs = small.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x: F.transform(F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    return pairs.dropDuplicates(["a", "b"])

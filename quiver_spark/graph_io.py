@@ -9,11 +9,16 @@ Layout of a saved graph::
     <path>/_MANIFEST   json: schemas, row counts, order-insensitive
                        content hashes, format, writer version
 
-The manifest hash (xxhash64 of every column cast to string, bit_xor
-folded — order-insensitive, partitioning-independent) is verified on
-load, so a corrupted or partially-written table fails fast: the moral
-equivalent of the codecs round-trip property, and the same audit
-discipline the superstep runtime applies to its checkpoints.
+The manifest hash (xxhash64 of every column cast to string, folded
+with BOTH a wrapping sum mod 2^64 and a bit_xor — order-insensitive,
+partitioning-independent, and multiset-sensitive: a pure xor is blind
+to rows duplicated in pairs, the sum is not) is computed by reading
+the *written* parquet back, so the manifest attests exactly the
+persisted bytes (not the input lineage, which could be
+non-deterministic). It is verified on load, so a corrupted or
+partially-written table fails fast: the moral equivalent of the
+codecs round-trip property, and the same audit discipline the
+superstep runtime applies to its checkpoints.
 
 ``fmt="iceberg"`` routes writes through ``writeTo(table)`` when an
 Iceberg catalog is configured (not in this sandbox — SURVEY.md §7
@@ -30,31 +35,56 @@ from pyspark.sql import functions as F
 
 from quiver_spark.graph import Graph
 
-_VERSION = 1
+_VERSION = 2
+_2_64 = 1 << 64
 
 
-def _content_hash(df: DataFrame) -> int:
-    """Order-insensitive 64-bit content hash (bit_xor of row hashes)."""
+def _content_hash(df: DataFrame) -> str:
+    """Order-insensitive, multiset-sensitive content hash.
+
+    ``"<sum mod 2^64 hex>:<xor hex>"`` over per-row xxhash64. The
+    wrapping sum distinguishes row multiplicities that a pure xor
+    cancels (two identical rows xor to 0); the xor is kept as a
+    second independent fold. The sum runs in decimal(38,0) so ANSI
+    long overflow can't fire, then wraps mod 2^64 on the driver.
+    """
     h = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
-    out = df.select(h.alias("h")).agg(F.expr("bit_xor(h)").alias("x")).collect()[0]["x"]
-    return int(out) if out is not None else 0
+    row = (
+        df.select(h.alias("h"))
+        .agg(
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+            F.expr("bit_xor(h)").alias("x"),
+        )
+        .collect()[0]
+    )
+    s = int(row["s"]) % _2_64 if row["s"] is not None else 0
+    x = int(row["x"]) % _2_64 if row["x"] is not None else 0
+    return f"{s:016x}:{x:016x}"
 
 
 def save_graph(graph: Graph, path: str, fmt: str = "parquet") -> dict:
-    """Write (vertices, edges, manifest); returns the manifest."""
+    """Write (vertices, edges, manifest); returns the manifest.
+
+    Counts and content hashes are computed from the parquet files
+    *after* the write (re-read), so the manifest attests the persisted
+    bytes even when the input lineage is non-deterministic.
+    """
     if fmt != "parquet":
         raise NotImplementedError("only parquet in this sandbox (Iceberg seam: SURVEY.md §7)")
+    spark = graph.vertices.sparkSession
     graph.vertices.write.mode("overwrite").parquet(os.path.join(path, "vertices"))
     graph.edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
+    v_disk = spark.read.parquet(os.path.join(path, "vertices"))
+    e_disk = spark.read.parquet(os.path.join(path, "edges"))
     manifest = {
         "version": _VERSION,
         "format": fmt,
-        "vertex_schema": graph.vertices.schema.json(),
-        "edge_schema": graph.edges.schema.json(),
-        "n_vertices": graph.vertices.count(),
-        "n_edges": graph.edges.count(),
-        "vertex_hash": _content_hash(graph.vertices),
-        "edge_hash": _content_hash(graph.edges),
+        "vertex_schema": v_disk.schema.json(),
+        "edge_schema": e_disk.schema.json(),
+        "n_vertices": v_disk.count(),
+        "n_edges": e_disk.count(),
+        "vertex_hash": _content_hash(v_disk),
+        "edge_hash": _content_hash(e_disk),
     }
     tmp = os.path.join(path, "_MANIFEST.tmp")
     with open(tmp, "w") as f:

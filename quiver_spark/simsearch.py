@@ -156,17 +156,24 @@ def knn_join(
         for pdf in batches:
             if pdf.empty:
                 continue
+            cids = pdf[id_col].to_numpy(np.int64)
             cmat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # sort the batch by corpus id so the stable argsort below
+            # breaks cosine ties at the k-th boundary by ascending id —
+            # the same (cos desc, id asc) order the global window uses,
+            # making the partial top-k deterministic under ties
+            byid = np.argsort(cids, kind="stable")
+            cids, cmat = cids[byid], cmat[byid]
             cn = np.linalg.norm(cmat, axis=1)
             cn[cn == 0] = 1.0
             sims = (cmat @ mat_q.T) / cn[:, None] / norm_q[None, :]
             n_c, n_q = sims.shape
             kk = min(k, n_c)
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            top = np.argsort(-sims, axis=0, kind="stable")[:kk]
             yield pd.DataFrame(
                 {
                     query_id_col: np.repeat(ids_q, kk),
-                    id_col: pdf[id_col].to_numpy(np.int64)[top.T.ravel()],
+                    id_col: cids[top.T.ravel()],
                     "cos": np.take_along_axis(sims, top, axis=0).T.ravel(),
                 }
             )
@@ -185,13 +192,30 @@ def embedding_near_dup_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 256,
 ) -> DataFrame:
     """(a, b, cos) pairs above threshold, found via same-bucket
     candidates + exact cosine verify (near-identical vectors agree on
-    every hyperplane sign with high probability)."""
+    every hyperplane sign with high probability).
+
+    Buckets wider than ``max_bucket`` are dropped before the self-join
+    (the hot-bucket guard from quiver_spark.dedup): a clustered corpus
+    — many near-identical vectors landing in one sign bucket — would
+    otherwise make the candidate join quadratic in that bucket's
+    width. The bucket-width table is at most ``2**n_bits`` rows, so
+    the guard is a broadcast semi-join, never a shuffle of the data.
+    """
     b = lsh_bucket(emb, n_bits, seed, id_col, vec_col)
-    left = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"), "bucket")
-    right = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"), "bucket")
+    b = b.persist()
+    width_ok = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .select("bucket")
+    )
+    capped = b.join(F.broadcast(width_ok), "bucket", "left_semi")
+    left = capped.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"), "bucket")
+    right = capped.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"), "bucket")
     cand = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
     scored = cand.select("a", "b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
     return scored.filter(F.col("cos") >= threshold)

@@ -57,3 +57,33 @@ def test_save_is_atomic_about_manifest(spark, tmp_path):
     graph_io.save_graph(g, path)
     assert os.path.exists(os.path.join(path, "_MANIFEST"))
     assert not os.path.exists(os.path.join(path, "_MANIFEST.tmp"))
+
+
+def test_manifest_hash_is_multiset_sensitive(spark, tmp_path):
+    # duplicating a row in PAIRS keeps a pure-xor fold unchanged — the
+    # wrapping-sum component must still flag it (ADVICE graph_io.py:39)
+    from quiver_spark.graph_io import _content_hash
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    b = spark.createDataFrame([(1, "x"), (1, "x"), (1, "x"), (2, "y")], "id long, v string")
+    assert _content_hash(a) != _content_hash(b)
+    # order/partitioning-insensitive on identical multisets
+    assert _content_hash(a.repartition(7)) == _content_hash(a.coalesce(1))
+
+
+def test_manifest_attests_persisted_bytes(spark, tmp_path):
+    # the manifest must hash what landed on disk, not the input lineage
+    import json
+
+    from quiver_spark.graph import Graph
+    from quiver_spark.graph_io import load_graph, save_graph
+
+    v = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    e = spark.createDataFrame([(1, 2, "e")], "src long, dst long, etype string")
+    path = str(tmp_path / "g")
+    m = save_graph(Graph.mk_graph(v, e), path)
+    with open(f"{path}/_MANIFEST") as f:
+        on_disk = json.load(f)
+    assert on_disk == m
+    g2 = load_graph(spark, path, verify=True)
+    assert g2.vertices.count() == 2 and g2.edges.count() == 1

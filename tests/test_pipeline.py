@@ -190,3 +190,51 @@ def test_frame_sample_plan_counts(spark):
     for aid, n in counts.items():
         dur = 1000 + (aid * 13) % 60000
         assert n == (dur - 1) // 1000 + 1
+
+
+# ----------------------------------------------------- hot-bucket guards
+def test_simhash_pairs_cap_hot_bucket(spark):
+    # 40 byte-identical docs share every band → one hot bucket of 40;
+    # with max_bucket below that the quadratic self-pairing must not
+    # fire, while a disjoint small near-dup group is still paired
+    rows = [BASE] * 40 + ["alpha beta gamma delta epsilon zeta eta theta"] * 2
+    df = _docs(spark, rows)
+    sim = dedup.simhash64(df)
+    capped = {(r["a"], r["b"]) for r in dedup.simhash_candidate_pairs(sim, max_bucket=8).collect()}
+    assert (40, 41) in capped
+    assert all(a >= 40 for a, _ in capped), "hot boilerplate bucket leaked pairs"
+    # uncapped default still catches the identical docs (bucket ≤ 64)
+    full = {(r["a"], r["b"]) for r in dedup.simhash_candidate_pairs(sim).collect()}
+    assert (0, 1) in full
+
+
+def test_embedding_near_dup_cap_hot_bucket(spark):
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(8).astype(np.float32)
+    # 30 near-identical vectors → one hot sign-bucket; plus a planted
+    # separate near-dup pair far from the cluster
+    vecs = [base + 0.001 * rng.standard_normal(8).astype(np.float32) for _ in range(30)]
+    other = -base
+    vecs += [other, other * np.float32(1.001)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = simsearch.embedding_near_dup_pairs(df, threshold=0.99, n_bits=6, max_bucket=8)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (30, 31) in got
+    assert all(a >= 30 for a, _ in got), "hot cluster bucket leaked pairs"
+    # n_pairs bounded: ≤ C(max_bucket, 2) per surviving bucket
+    assert len(got) <= 8 * 7 // 2
+
+
+def test_knn_join_deterministic_under_ties(spark):
+    # four copies of the same vector (cos ties at every boundary) in a
+    # corpus spread over several partitions: top-k must pick ascending
+    # ids, matching the (cos desc, id asc) global order
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, base) for i in range(4)] + [(10 + i, [0.0, 1.0, 0.0, float(i)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(5)
+    queries = spark.createDataFrame([(0, base)], "qid long, embedding array<float>")
+    got = [r["vec_id"] for r in simsearch.knn_join(df, queries, k=3).orderBy(F.desc("cos"), F.asc("vec_id")).collect()]
+    assert got == [0, 1, 2]
