@@ -148,29 +148,62 @@ def dff(graph: Graph, seeds: Iterable[int] | DataFrame | None = None, direction:
 
 def esp(graph: Graph, s: int, t: int, direction: str = "out", max_depth: int | None = None) -> list[int]:
     """Hop-count shortest path s→t as a vertex list (inclusive), or []
-    — quiver ``esp`` [pub: Graph.scala#esp]. BFS with parent pointers;
-    the backtrack walks the (small) visited table on the driver."""
-    visited = bfs(graph, [s], direction=direction, max_depth=max_depth)
-    rows = {r["id"]: r["parent"] for r in visited.collect()}
-    if t not in rows:
-        return []
-    path = [t]
-    while path[-1] != s:
-        path.append(rows[path[-1]])
-    return list(reversed(path))
+    — quiver ``esp`` [pub: Graph.scala#esp].
+
+    BFS with parent pointers, then a *distributed* backtrack: the
+    visited table (which at scale is the whole reachable set —
+    millions of rows for a 4-hop answer) is never collected. Each of
+    the ≤ level(t) backtrack steps is a single-row lookup pushed into
+    the cached visited frame as a (level, id) filter, so only the
+    path's own rows ever reach the driver.
+    """
+    visited = bfs(graph, [s], direction=direction, max_depth=max_depth).persist()
+    try:
+        t_row = visited.filter(F.col("id") == t).select("level", "parent").collect()
+        if not t_row:
+            return []
+        level, parent = t_row[0]["level"], t_row[0]["parent"]
+        path = [t]
+        for k in range(level - 1, -1, -1):
+            path.append(parent)
+            if k == 0:
+                break
+            parent = (
+                visited.filter((F.col("level") == k) & (F.col("id") == path[-1]))
+                .select("parent")
+                .collect()[0]["parent"]
+            )
+        return list(reversed(path))
+    finally:
+        visited.unpersist()
 
 
 def lesp(graph: Graph, s: int, t: int) -> list[tuple[int, dict]]:
     """Labeled shortest path [pub: Graph.scala#lesp]: (vertex, edge
-    labels taken to reach it); first vertex carries {}."""
+    labels taken to reach it); first vertex carries {}.
+
+    One join: the (tiny, driver-built) consecutive-pairs frame joins
+    ``graph.edges`` once; a min-struct per hop picks a deterministic
+    label among parallel edges — not one Spark job per path edge.
+    """
     path = esp(graph, s, t)
     if not path:
         return []
+    spark = graph.spark
+    pairs = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(zip(path, path[1:]))], "pos long, src long, dst long"
+    )
+    label_cols = [c for c in graph.edges.columns if c not in ("src", "dst")]
+    hops = (
+        graph.edges.join(F.broadcast(pairs), ["src", "dst"])
+        .groupBy("pos")
+        .agg(F.min(F.struct(*label_cols)).alias("_lbl"))
+        .collect()
+    )
+    labels = {r["pos"]: r["_lbl"].asDict() for r in hops}
     out: list[tuple[int, dict]] = [(path[0], {})]
-    for a, b in zip(path, path[1:]):
-        lbl_rows = graph.find_edges(a, b).limit(1).collect()
-        lbl = {k: v for k, v in lbl_rows[0].asDict().items() if k not in ("src", "dst")} if lbl_rows else {}
-        out.append((b, lbl))
+    for i, b in enumerate(path[1:]):
+        out.append((b, labels.get(i, {})))
     return out
 
 
@@ -199,28 +232,37 @@ def cheapest_path_costs(
         )
         dist = dist.localCheckpoint()
         for it in range(1, max_iters + 1):
-            relaxed = (
-                edges.join(dist, edges["u"] == dist["id"])
-                .select(F.col("v").alias("id"), (F.col("cost") + F.col("w")).alias("cost"), F.col("u").alias("parent"))
+            relaxed = edges.join(dist, edges["u"] == dist["id"]).select(
+                F.col("v").alias("id"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+                F.col("u").alias("parent"),
+                F.lit(False).alias("_isprev"),
             )
+            # change detection folded INTO the relax aggregate (the
+            # pagerank delta-column pattern): prev rows are tagged and
+            # the min-struct and prev-cost come out of ONE aggregate,
+            # so the fixpoint check is a cheap scan of the checkpointed
+            # result instead of a second join job per iteration
             new_dist = (
-                dist.unionByName(relaxed)
+                dist.select("id", "cost", "parent", F.lit(True).alias("_isprev"))
+                .unionByName(relaxed)
                 .groupBy("id")
-                .agg(F.min(F.struct("cost", "parent")).alias("cp"))
-                .select("id", F.col("cp.cost").alias("cost"), F.col("cp.parent").alias("parent"))
+                .agg(
+                    F.min(F.struct("cost", "parent")).alias("cp"),
+                    F.min(F.when(F.col("_isprev"), F.col("cost"))).alias("_prev"),
+                )
+                .select(
+                    "id",
+                    F.col("cp.cost").alias("cost"),
+                    F.col("cp.parent").alias("parent"),
+                    (F.col("_prev").isNull() | (F.col("cp.cost") < F.col("_prev"))).alias("_changed"),
+                )
             )
-            # materialize each round: the fixpoint check below reads it,
+            # materialize each round: the fixpoint scan reads the cache,
             # and checkpointing truncates the k-deep join lineage
             new_dist = new_dist.localCheckpoint()
-            # fixpoint: any vertex improved?
-            prev = dist.select("id", F.col("cost").alias("_prev_cost"))
-            changed = (
-                new_dist.join(prev, "id", "left")
-                .filter(F.col("_prev_cost").isNull() | (F.col("cost") < F.col("_prev_cost")))
-                .limit(1)
-                .count()
-            )
-            dist = new_dist
+            changed = new_dist.agg(F.sum(F.col("_changed").cast("int"))).collect()[0][0] or 0
+            dist = new_dist.drop("_changed")
             if changed == 0:
                 break
         return dist
