@@ -39,15 +39,24 @@ def _block_col(col: str, n_blocks: int) -> F.Column:
 
 
 def blocked_edges(edges_w: DataFrame, n_blocks: int) -> DataFrame:
-    """(block, src, dst, w) hash-partitioned by block and persisted.
+    """(block, src, dst, w) hash-partitioned by block, pre-sorted by
+    (block, dst), persisted.
 
     ``edges_w`` must carry (src, dst, w). Repartitioning by ``block``
-    up front means every superstep's cogroup reuses this layout —
-    the big table never moves again.
+    up front means every superstep's cogroup reuses this layout — the
+    big table never moves again. The ``sortWithinPartitions`` matters
+    as much as the partitioning: the cogroup requires rows sorted by
+    the grouping key, and a cached (block, dst)-sorted layout lets
+    Catalyst elide that SortExec — without it every superstep re-sorts
+    the FULL edge table (measured: the dominant per-superstep cost and
+    the source of the strategy's poor 4→16 scaling). Sorting by dst
+    within the block also hands the kernel ready-made dst segments, so
+    the per-superstep numpy work is sort-free.
     """
     return (
         edges_w.withColumn("block", _block_col("src", n_blocks))
         .repartition(n_blocks, "block")
+        .sortWithinPartitions("block", "dst")
         .persist()
     )
 
@@ -55,33 +64,33 @@ def blocked_edges(edges_w: DataFrame, n_blocks: int) -> DataFrame:
 def _spmv_kernel(edges_pdf: pd.DataFrame, ranks_pdf: pd.DataFrame) -> pd.DataFrame:
     """Local SpMV over one CSR block: out[dst] += rank[src] * w.
 
-    Builds the CSR arrays (indptr over sorted unique src, indices =
-    dst) and segment-multiplies rank across each src's edge range.
-    Pure numpy — one Arrow batch in, one out.
+    Expects edge rows (dst-sorted from the persisted layout — verified
+    cheaply, re-sorted only as a fallback): per-superstep work is one
+    vectorized searchsorted rank gather (per edge), a multiply, and a
+    reduceat over the dst segment boundaries. No numpy sort on the
+    (big) edge arrays in the steady state; the (small) per-block state
+    is sorted per call. Pure numpy — one Arrow batch in, one out.
     """
     if edges_pdf.empty or ranks_pdf.empty:
         return pd.DataFrame({"dst": pd.Series(dtype="int64"), "partial": pd.Series(dtype="float64")})
     src = edges_pdf["src"].to_numpy(np.int64)
     dst = edges_pdf["dst"].to_numpy(np.int64)
     w = edges_pdf["w"].to_numpy(np.float64)
-    order = np.argsort(src, kind="stable")
-    src_s, indices, w_s = src[order], dst[order], w[order]
-    usrc, counts = np.unique(src_s, return_counts=True)
-    indptr = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])
-    # rank lookup for the block's unique sources (state block holds them all)
+    if not np.all(dst[1:] >= dst[:-1]):  # fallback: unsorted input
+        order = np.argsort(dst, kind="stable")
+        src, dst, w = src[order], dst[order], w[order]
+    # per-edge rank gather from the (small) sorted state block
     rid = ranks_pdf["id"].to_numpy(np.int64)
     rv = ranks_pdf["rank"].to_numpy(np.float64)
     rorder = np.argsort(rid, kind="stable")
     rid_s, rv_s = rid[rorder], rv[rorder]
-    pos = np.searchsorted(rid_s, usrc)
+    pos = np.searchsorted(rid_s, src)
     pos = np.clip(pos, 0, len(rid_s) - 1)
-    found = rid_s[pos] == usrc
-    ranks_u = np.where(found, rv_s[pos], 0.0)
-    # segment multiply: rank of each src spread across its CSR range
-    contrib = np.repeat(ranks_u, np.diff(indptr)) * w_s
-    # in-block combine per dst
-    udst, dst_codes = np.unique(indices, return_inverse=True)
-    partial = np.bincount(dst_codes, weights=contrib, minlength=len(udst))
+    contrib = np.where(rid_s[pos] == src, rv_s[pos], 0.0) * w
+    # in-block combine: segment-reduce over the pre-sorted dst runs
+    starts = np.flatnonzero(np.concatenate(([True], dst[1:] != dst[:-1])))
+    udst = dst[starts]
+    partial = np.add.reduceat(contrib, starts)
     return pd.DataFrame({"dst": udst, "partial": partial})
 
 

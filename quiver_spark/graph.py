@@ -125,7 +125,8 @@ class Graph:
         e = e.join(vids.withColumnRenamed("id", "src"), "src", "left_semi").join(
             vids.withColumnRenamed("id", "dst"), "dst", "left_semi"
         )
-        return cls(v, e)
+        # key-joins put the join key first — restore the declared order
+        return cls(v, e.select(*edges.columns))
 
     @classmethod
     def from_edges(cls, edges: DataFrame) -> Graph:
@@ -150,8 +151,11 @@ class Graph:
         whose endpoints are missing instead of raising."""
         vids = self.vertices.select("id")
         if safe:
-            edges = edges.join(vids.withColumnRenamed("id", "src"), "src", "left_semi").join(
-                vids.withColumnRenamed("id", "dst"), "dst", "left_semi"
+            cols = edges.columns
+            edges = (
+                edges.join(vids.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(vids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select(*cols)
             )
         else:
             dangling = (
@@ -374,7 +378,7 @@ class Graph:
         e = self.edges.join(vids.withColumnRenamed("id", "src"), "src", "left_semi").join(
             vids.withColumnRenamed("id", "dst"), "dst", "left_semi"
         )
-        return Graph(new_v, e)
+        return Graph(new_v, e.select(*self.edges.columns))
 
     def fold_contexts(self, agg_exprs: Sequence[Column]) -> DataFrame:
         """quiver ``fold``/``ufold`` [pub: Graph.scala#fold], restricted
@@ -394,7 +398,7 @@ class Graph:
         e = self.edges.join(vids.withColumnRenamed("id", "src"), "src", "left_semi").join(
             vids.withColumnRenamed("id", "dst"), "dst", "left_semi"
         )
-        return Graph(v, e)
+        return Graph(v, e.select(*self.edges.columns))
 
     def nfilter(self, pred: Column) -> Graph:
         """quiver ``nfilter`` [pub: Graph.scala#nfilter] — same cascade,
@@ -416,7 +420,7 @@ class Graph:
         e = self.edges.join(hint.withColumnRenamed("id", "src"), "src", "left_semi").join(
             hint.withColumnRenamed("id", "dst"), "dst", "left_semi"
         )
-        return Graph(v, e)
+        return Graph(v, e.select(*self.edges.columns))
 
     # ------------------------------------------------------------------
     # §2.5 mutation / deletes  [pub: Graph.scala#removeNode/#removeEdge]
@@ -427,7 +431,7 @@ class Graph:
         e = self.edges.join(idf.withColumnRenamed("id", "src"), "src", "left_anti").join(
             idf.withColumnRenamed("id", "dst"), "dst", "left_anti"
         )
-        return Graph(v, e)
+        return Graph(v, e.select(*self.edges.columns))
 
     def remove_edges(self, pairs: DataFrame) -> Graph:
         """Drop ALL parallel edges for each (src,dst) pair

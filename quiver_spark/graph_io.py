@@ -20,9 +20,10 @@ partially-written table fails fast: the moral equivalent of the
 codecs round-trip property, and the same audit discipline the
 superstep runtime applies to its checkpoints.
 
-``fmt="iceberg"`` routes writes through ``writeTo(table)`` when an
-Iceberg catalog is configured (not in this sandbox — SURVEY.md §7
-caveat); the default is plain Parquet directories.
+``fmt="iceberg"`` routes writes through the :class:`~quiver_spark.
+table_io.TableIO` ``writeTo(table)`` branch when an Iceberg catalog is
+configured (not in this sandbox — the seam fails fast with a clear
+message; SURVEY.md §7 caveat); the default is Parquet directories.
 """
 
 from __future__ import annotations
@@ -62,23 +63,26 @@ def _content_hash(df: DataFrame) -> str:
     return f"{s:016x}:{x:016x}"
 
 
-def save_graph(graph: Graph, path: str, fmt: str = "parquet") -> dict:
+def save_graph(graph: Graph, path: str, fmt: str = "parquet", io: "TableIO | None" = None) -> dict:
     """Write (vertices, edges, manifest); returns the manifest.
 
-    Counts and content hashes are computed from the parquet files
-    *after* the write (re-read), so the manifest attests the persisted
-    bytes even when the input lineage is non-deterministic.
+    Counts and content hashes are computed from the written tables
+    *after* the write (re-read through the same seam), so the manifest
+    attests the persisted bytes even when the input lineage is
+    non-deterministic. ``io`` overrides the format seam (tests inject
+    fakes; a cluster passes ``TableIO(spark, "iceberg")``).
     """
-    if fmt != "parquet":
-        raise NotImplementedError("only parquet in this sandbox (Iceberg seam: SURVEY.md §7)")
+    from quiver_spark.table_io import TableIO
+
     spark = graph.vertices.sparkSession
-    graph.vertices.write.mode("overwrite").parquet(os.path.join(path, "vertices"))
-    graph.edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
-    v_disk = spark.read.parquet(os.path.join(path, "vertices"))
-    e_disk = spark.read.parquet(os.path.join(path, "edges"))
+    io = io or TableIO(spark, fmt)  # iceberg without a catalog fails fast here
+    io.write(graph.vertices, os.path.join(path, "vertices"))
+    io.write(graph.edges, os.path.join(path, "edges"))
+    v_disk = io.read(os.path.join(path, "vertices"))
+    e_disk = io.read(os.path.join(path, "edges"))
     manifest = {
         "version": _VERSION,
-        "format": fmt,
+        "format": io.fmt,
         "vertex_schema": v_disk.schema.json(),
         "edge_schema": e_disk.schema.json(),
         "n_vertices": v_disk.count(),
@@ -93,13 +97,17 @@ def save_graph(graph: Graph, path: str, fmt: str = "parquet") -> dict:
     return manifest
 
 
-def load_graph(spark: SparkSession, path: str, verify: bool = True) -> Graph:
+def load_graph(spark: SparkSession, path: str, verify: bool = True, io: "TableIO | None" = None) -> Graph:
     """Read a saved graph; ``verify=True`` re-hashes both tables
-    against the manifest (codecs round-trip property)."""
+    against the manifest (codecs round-trip property). The manifest's
+    recorded format selects the read branch unless ``io`` overrides."""
+    from quiver_spark.table_io import TableIO
+
     with open(os.path.join(path, "_MANIFEST")) as f:
         manifest = json.load(f)
-    v = spark.read.parquet(os.path.join(path, "vertices"))
-    e = spark.read.parquet(os.path.join(path, "edges"))
+    io = io or TableIO(spark, manifest.get("format", "parquet"))
+    v = io.read(os.path.join(path, "vertices"))
+    e = io.read(os.path.join(path, "edges"))
     if verify:
         problems = []
         if v.count() != manifest["n_vertices"]:

@@ -71,11 +71,17 @@ class SuperstepRunner:
         run_dir: str | None = None,
         run_id: str | None = None,
         checkpoint_every: int = 5,
+        table_io=None,
     ):
+        from quiver_spark.table_io import TableIO
+
         self.spark = spark
         self.run_dir = run_dir
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.checkpoint_every = max(1, checkpoint_every)
+        # durable state/lineage writes route through the format seam:
+        # parquet here, TableIO(spark, "iceberg") on a real cluster
+        self.table_io = table_io or TableIO(spark, "parquet")
         if run_dir:
             os.makedirs(run_dir, exist_ok=True)
 
@@ -104,7 +110,7 @@ class SuperstepRunner:
 
     def _write_checkpoint(self, state: DataFrame, k: int, extra: dict) -> None:
         sdir = self._state_dir(k)
-        state.write.mode("overwrite").parquet(sdir)
+        self.table_io.write(state, sdir)
         # per-partition lineage: deterministic content hash per partition
         # bit_xor fold: order-insensitive, overflow-free under ANSI mode
         hash_cols = F.xxhash64(*[F.col(c).cast("string") for c in state.columns])
@@ -114,7 +120,7 @@ class SuperstepRunner:
             .groupBy("_pid")
             .agg(F.count(F.lit(1)).alias("rows"), F.expr("bit_xor(_h)").alias("content_hash_sum"))
         )
-        lineage.write.mode("overwrite").parquet(os.path.join(self.run_dir, f"lineage_k={k:05d}"))
+        self.table_io.write(lineage, os.path.join(self.run_dir, f"lineage_k={k:05d}"))
         with open(self._marker(k), "w") as f:
             json.dump({"run_id": self.run_id, "superstep": k, **extra}, f)
 
@@ -138,7 +144,7 @@ class SuperstepRunner:
         if self.run_dir and resume:
             last = self.last_completed()
             if last >= 0:
-                state = self.spark.read.parquet(self._state_dir(last))
+                state = self.table_io.read(self._state_dir(last))
                 start_k = last + 1
                 resumed_from = last
 

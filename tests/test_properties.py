@@ -1,0 +1,177 @@
+"""Generator-driven property suites over seeded random multigraphs —
+the distributed re-encoding of quiver's ScalaCheck laws (SURVEY.md
+§5.1; [pub: Verizon/quiver core/src/test/scala/quiver/GraphSpec.scala]
+property names cited per test). Fixed seeds keep every run identical
+at any parallelism; each property runs over ≥ 20 generated graphs.
+
+Graphs are deliberately tiny (≤ 20 vertices) — these laws are about
+semantics, not scale; the scale evidence lives in bench/ and the
+oracle layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quiver_spark.graph import Graph
+
+N_GRAPHS = 22
+SEEDS = list(range(N_GRAPHS))
+
+
+def random_multigraph(spark, seed: int, n_min: int = 4, n_max: int = 16) -> Graph:
+    """Seeded random labeled multigraph. The small (3-value) edge-label
+    space makes parallel-edge collisions common, exercising the
+    Set[B] dedup paths; ~10% of generated graphs have zero edges."""
+    rng = np.random.default_rng(1_000_003 * seed + 17)
+    n = int(rng.integers(n_min, n_max + 1))
+    ids = sorted(int(x) for x in rng.choice(np.arange(1, 400), size=n, replace=False))
+    m = int(rng.integers(0, 4 * n))
+    vs = [(i, f"n{int(rng.integers(0, 5))}") for i in ids]
+    es = [
+        (int(rng.choice(ids)), int(rng.choice(ids)), f"e{int(rng.integers(0, 3))}")
+        for _ in range(m)
+    ]
+    V = spark.createDataFrame(vs, "id long, name string")
+    E = spark.createDataFrame(es, "src long, dst long, etype string")
+    return Graph.mk_graph(V, E)
+
+
+def gsig(g: Graph) -> tuple[tuple, tuple]:
+    """Canonical value signature: sorted vertex rows + sorted edge rows."""
+    vs = tuple(sorted(tuple(r) for r in g.vertices.select("id", *sorted(g.vlabel_cols)).collect()))
+    es = tuple(sorted(tuple(r) for r in g.edges.select("src", "dst", *sorted(g.elabel_cols)).collect()))
+    return vs, es
+
+
+@pytest.fixture(scope="module")
+def graphs(spark):
+    return {s: random_multigraph(spark, s) for s in SEEDS}
+
+
+def test_decomp_embed_round_trip(spark, graphs):
+    """[pub: GraphSpec.scala 'decomposition round-trip']: for any v,
+    embed(decomp(g, v).rest, context(v)) == g."""
+    for s, g in graphs.items():
+        v = int(g.vertices.select("id").orderBy("id").limit(1).collect()[0]["id"])
+        ctx, rest = g.decomp(v)
+        node = g.vertices.filter(F.col("id") == v)
+        # incident edges from the original graph (self-loops appear in
+        # both in_ and out_; embed's add_edges re-dedups on identity)
+        in_e = g.edges.filter(F.col("dst") == v)
+        out_e = g.edges.filter(F.col("src") == v)
+        back = rest.embed(node, in_e, out_e)
+        assert gsig(back) == gsig(g), f"seed {s}: decomp/embed not a round-trip"
+
+
+def test_union_monoid_laws(spark, graphs):
+    """[pub: package.scala graph Monoid]: identity, idempotence, and
+    associativity of union (right-biased labels)."""
+    empty = Graph.empty(spark, "id long, name string", "src long, dst long, etype string")
+    for s in SEEDS[:20]:
+        g = graphs[s]
+        assert gsig(g.union(empty)) == gsig(g), f"seed {s}: right identity"
+        assert gsig(empty.union(g)) == gsig(g), f"seed {s}: left identity"
+        assert gsig(g.union(g)) == gsig(g), f"seed {s}: idempotence"
+    # associativity over overlapping id spaces (labels collide by design)
+    for s in range(7):
+        a, b, c = graphs[3 * s], graphs[3 * s + 1], graphs[3 * s + 2]
+        assert gsig(a.union(b).union(c)) == gsig(a.union(b.union(c))), f"triple {s}: associativity"
+
+
+def test_degree_sum_invariants(spark, graphs):
+    """[pub: GraphSpec.scala 'degree invariants']: Σ out = Σ in = |E|;
+    degree = in + out pointwise."""
+    for s, g in graphs.items():
+        m = g.count_edges()
+        out_sum = g.out_degrees().agg(F.sum("out_degree")).collect()[0][0] or 0
+        in_sum = g.in_degrees().agg(F.sum("in_degree")).collect()[0][0] or 0
+        assert out_sum == m == in_sum, f"seed {s}: degree sums {out_sum}/{in_sum} vs |E|={m}"
+        bad = (
+            g.degrees()
+            .filter(F.col("degree") != F.col("in_degree") + F.col("out_degree"))
+            .count()
+        )
+        assert bad == 0, f"seed {s}: degree != in+out"
+
+
+def test_add_edge_increments_degrees(spark, graphs):
+    """addEdge bumps exactly the two endpoint degrees by one (fresh
+    label so the Set[B] dedup cannot absorb it)."""
+    for s in SEEDS[:20]:
+        g = graphs[s]
+        two = [r["id"] for r in g.vertices.select("id").orderBy("id").limit(2).collect()]
+        a, b = (two + two)[:2]
+        e = spark.createDataFrame([(a, b, f"fresh_{s}")], "src long, dst long, etype string")
+        g2 = g.add_edges(e)
+        assert g2.count_edges() == g.count_edges() + 1, f"seed {s}: edge count"
+        d1 = {r["id"]: r["out_degree"] for r in g.out_degrees().collect()}
+        d2 = {r["id"]: r["out_degree"] for r in g2.out_degrees().collect()}
+        assert d2[a] == d1[a] + 1, f"seed {s}: out-degree of src"
+
+
+def test_reverse_involution_and_degree_swap(spark, graphs):
+    """[pub: GraphSpec.scala 'reverse involution']: grev∘grev = id and
+    in-degrees(g) == out-degrees(grev(g))."""
+    for s, g in graphs.items():
+        assert gsig(g.reverse().reverse()) == gsig(g), f"seed {s}: reverse not involutive"
+        a = sorted((r["id"], r["in_degree"]) for r in g.in_degrees().collect())
+        b = sorted((r["id"], r["out_degree"]) for r in g.reverse().out_degrees().collect())
+        assert a == b, f"seed {s}: degree swap"
+
+
+def test_emap_collision_dedup(spark, graphs):
+    """[pub: Graph.scala#emap Set[B] semantics]: collapsing all edge
+    labels to one value leaves exactly one edge per (src, dst) pair."""
+    for s, g in graphs.items():
+        collapsed = g.emap(etype=F.lit("x"))
+        assert collapsed.count_edges() == g.edge_pairs().count(), f"seed {s}: emap dedup"
+
+
+def test_undir_symmetric_and_idempotent(spark, graphs):
+    """[pub: Graph.scala#undir]: the undirected pair set is symmetric,
+    and undir is idempotent."""
+    for s in SEEDS[:20]:
+        u = graphs[s].undir()
+        pairs = {(r["src"], r["dst"]) for r in u.edge_pairs().collect()}
+        assert all((b, a) in pairs for a, b in pairs), f"seed {s}: asymmetric undir"
+        assert gsig(u.undir()) == gsig(u), f"seed {s}: undir not idempotent"
+
+
+def test_safe_mk_graph_drops_exactly_dangling(spark):
+    """[pub: package.scala#safeMkGraph]: dangling edges are dropped,
+    nothing else; mk_graph raises iff a dangling edge exists."""
+    for s in SEEDS[:20]:
+        rng = np.random.default_rng(900_001 * s + 5)
+        ids = sorted(int(x) for x in rng.choice(np.arange(1, 60), size=8, replace=False))
+        es = [
+            (int(rng.integers(1, 80)), int(rng.integers(1, 80)), "e")
+            for _ in range(12)
+        ]
+        V = spark.createDataFrame([(i, "v") for i in ids], "id long, name string")
+        E = spark.createDataFrame(es, "src long, dst long, etype string")
+        safe = Graph.safe_mk_graph(V, E)
+        idset = set(ids)
+        expect = {(a, b, t) for a, b, t in es if a in idset and b in idset}
+        got = {tuple(r) for r in safe.edges.collect()}
+        assert got == expect, f"seed {s}: safe_mk_graph kept wrong edge set"
+        if len(expect) < len(set(es)):
+            with pytest.raises(ValueError):
+                Graph.mk_graph(V, E)
+
+
+def test_subgraph_induced(spark, graphs):
+    """[pub: Graph.scala#subgraph]: subgraph(all ids) == g; induced
+    edges have both endpoints inside."""
+    for s in SEEDS[:20]:
+        g = graphs[s]
+        all_ids = [r["id"] for r in g.vertices.select("id").collect()]
+        assert gsig(g.subgraph(all_ids)) == gsig(g), f"seed {s}: full subgraph"
+        half = all_ids[: max(1, len(all_ids) // 2)]
+        sub = g.subgraph(half)
+        hs = set(half)
+        assert all(
+            r["src"] in hs and r["dst"] in hs for r in sub.edges.collect()
+        ), f"seed {s}: non-induced edge"
