@@ -110,6 +110,22 @@ def main() -> None:
     timed("label_propagation_5", lambda: label_propagation(g, label_col="lang", num_iters=5).state.count())
     timed("pagerank_hierarchy_oracle_q", lambda: q_pagerank_hierarchy(spark, sf_dir).count())
 
+    # --- training-data pipeline layer at bench scale ---
+    from quiver_spark import dedup, simsearch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra["near_dup_pairs"] = timed(
+        "doc_near_dup_pipeline",
+        lambda: dedup.near_duplicate_pairs(docs, threshold=0.5).count(),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def knn():
+        q = emb.limit(64).select(F.col("vec_id").alias("qid"), "embedding")
+        return simsearch.knn_join(emb, q, k=10).count()
+
+    extra["knn_rows"] = timed("knn_join_64q", knn)
+
     total = round(sum(timings.values()), 3)
     line = {
         "metric": "graph_suite_wall_sec",

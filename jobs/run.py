@@ -91,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = _spark(args)
     from quiver_spark.superstep import SuperstepRunner
+    from quiver_spark.table_io import TableIO
+
+    # output writes route through the format seam: parquet here,
+    # Iceberg writeTo when --format iceberg and a catalog is configured
+    io = TableIO(spark, "iceberg" if args.format == "iceberg" else "parquet")
 
     runner = (
         SuperstepRunner(spark, run_dir=args.run_dir, checkpoint_every=args.checkpoint_every)
@@ -101,9 +106,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "synthesize":
         from quiver_spark import ingest as ing
 
-        ing.synthesize_repo_table(spark, n_files=args.n_files, seed=args.seed).write.mode(
-            "overwrite"
-        ).parquet(args.output)
+        io.write(ing.synthesize_repo_table(spark, n_files=args.n_files, seed=args.seed), args.output)
         print(json.dumps({"job": "synthesize", "n_files": args.n_files, "output": args.output}))
         return 0
 
@@ -113,15 +116,15 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = _read(spark, args.input, args.format)
         pairs = dedup.near_duplicate_pairs(docs, threshold=args.jaccard)
-        pairs.write.mode("overwrite").parquet(args.output)
-        print(json.dumps({"job": "near-dups", "pairs": spark.read.parquet(args.output).count()}))
+        io.write(pairs, args.output)
+        print(json.dumps({"job": "near-dups", "pairs": io.read(args.output).count()}))
         return 0
 
     g = _load_graph(spark, args)
 
     if args.cmd == "ingest":
-        g.vertices.write.mode("overwrite").parquet(args.output + "/vertices")
-        g.edges.write.mode("overwrite").parquet(args.output + "/edges")
+        io.write(g.vertices, args.output + "/vertices")
+        io.write(g.edges, args.output + "/edges")
         out = {"job": "ingest", "vertices": g.count_nodes(), "edges": g.count_edges()}
     elif args.cmd == "pagerank":
         from quiver_spark.algorithms import pagerank
@@ -134,7 +137,7 @@ def main(argv: list[str] | None = None) -> int:
             strategy=args.strategy,
             runner=runner,
         )
-        res.state.write.mode("overwrite").parquet(args.output)
+        io.write(res.state, args.output)
         out = {
             "job": "pagerank",
             "supersteps": res.supersteps,
@@ -145,19 +148,19 @@ def main(argv: list[str] | None = None) -> int:
         from quiver_spark.algorithms import connected_components
 
         res = connected_components(g, max_iters=args.max_iters, runner=runner)
-        res.state.write.mode("overwrite").parquet(args.output)
+        io.write(res.state, args.output)
         out = {"job": "components", "supersteps": res.supersteps, "resumed_from": res.resumed_from}
     elif args.cmd == "labelprop":
         from quiver_spark.algorithms import label_propagation
 
         res = label_propagation(g, label_col=args.label_col, num_iters=args.lp_iters, runner=runner)
-        res.state.write.mode("overwrite").parquet(args.output)
+        io.write(res.state, args.output)
         out = {"job": "labelprop", "supersteps": res.supersteps}
     elif args.cmd == "triangles":
         from quiver_spark.algorithms import triangle_count
 
         n_tri = triangle_count(g)
-        spark.createDataFrame([(int(n_tri),)], "triangles long").write.mode("overwrite").parquet(args.output)
+        io.write(spark.createDataFrame([(int(n_tri),)], "triangles long"), args.output)
         out = {"job": "triangles", "triangles": int(n_tri)}
     else:  # pragma: no cover
         raise SystemExit(2)

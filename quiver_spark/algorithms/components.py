@@ -40,9 +40,15 @@ def connected_components(
     algorithm: str = "hashmin",
     strategy: str = "auto",
     n_blocks: int | None = None,
+    num_iters: int | None = None,
     runner: SuperstepRunner | None = None,
 ) -> SuperstepResult:
     """Returns SuperstepResult with state ``(id, component)``.
+
+    ``num_iters`` pins the round count and skips the per-round
+    changed-count job (bench mode: HashMin's per-round cost is
+    convergence-independent, so fixed rounds measure steady-state
+    throughput; correctness callers use the default fixpoint mode).
 
     ``strategy`` (hashmin only): ``smj`` shuffles the pair table
     through a sort-merge join every round; ``bhj`` is the
@@ -59,6 +65,8 @@ def connected_components(
         return _two_phase_cc(graph, max_iters=max_iters, runner=runner)
     spark = graph.spark
     runner = runner or SuperstepRunner(spark)
+    fixed = num_iters is not None
+    total = num_iters if fixed else max_iters
     state0 = graph.vertices.select("id", F.col("id").alias("component"))
     if strategy == "auto":
         n = graph.vertices.count()
@@ -100,6 +108,8 @@ def connected_components(
                 state.join(nbr_min, "id", "left")
                 .select("id", F.least(F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))).alias("component"))
             )
+        if fixed:
+            return new_state, None
         new_state = new_state.localCheckpoint()
         new_state._qs_checkpointed = True  # noqa: SLF001 — runner contract
         changed = (
@@ -111,7 +121,7 @@ def connected_components(
 
     try:
         # delta = #vertices that changed component; fixpoint at 0
-        return runner.run(state0, step, tol=0.0, max_iters=max_iters)
+        return runner.run(state0, step, tol=None if fixed else 0.0, max_iters=total)
     finally:
         und.unpersist()
 

@@ -572,10 +572,19 @@ def q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute all-pairs cosine ≥ 0.35 (a < b) — the exactness baseline
-    the LSH-bucketed path is measured against."""
+    the LSH-bucketed path is measured against.
+
+    DELIBERATELY O(n²) and ORACLE-SCALE ONLY (guarded): the scale path
+    is ``simsearch.embedding_near_dup_pairs`` (bucketed + capped)."""
     from quiver_spark import simsearch
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    if n > 50_000:
+        raise ValueError(
+            f"q_emb_pairs_above is a crossJoin oracle anchor, refused at n={n}; "
+            "use simsearch.embedding_near_dup_pairs at scale"
+        )
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_vb"))
     return (

@@ -54,6 +54,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # NOTE measured and rejected: requireAllClusterKeysForCoPartition=
+        # false would elide the mirror join-back's vertex-sized exchange
+        # (subset co-partitioning on block), but fusing the whole
+        # superstep into one stage made bhj ~1.7x slower and noisier at
+        # local[16] on 80M edges (3.7-7s/step vs steady 2.3-2.8s with
+        # the default two small exchanges). The edge table never
+        # shuffles either way — test_plans pins that invariant.
         # iterative jobs re-reference the same frames many times; keep
         # broadcast threshold default (10 MB) but make timeouts lax
         .config("spark.sql.broadcastTimeout", "600")

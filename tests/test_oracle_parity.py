@@ -37,7 +37,10 @@ def _norm(rows, cols):
             v = d[c]
             if isinstance(v, float):
                 v = round(v, 9)
-            vals.append((c, v))
+            # repr keeps mixed None/str rows sortable (NULL edge labels
+            # on path starts) — both sides normalize identically, and
+            # it matches the driver's repr-based value hash
+            vals.append((c, repr(v)))
         out.append(tuple(vals))
     return sorted(out)
 
