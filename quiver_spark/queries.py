@@ -651,6 +651,20 @@ def q_doc_simhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF (k=32 cells, nprobe=4) vs the brute oracle for
+    query vec_id 0 — the data-adaptive ANN quality metric."""
+    from quiver_spark import simsearch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    brute = {r["vec_id"] for r in simsearch.cosine_topk(emb, qvec, k=10).collect()}
+    cent = simsearch.ivf_centroids(emb, k=32)
+    assigned = simsearch.ivf_assign(emb, cent)
+    approx = {r["vec_id"] for r in simsearch.ivf_topk(assigned, cent, qvec, k=10, nprobe=4).collect()}
+    return spark.createDataFrame([(len(brute & approx), len(brute))], "hits long, k long")
+
+
 def q_emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the hyperplane-LSH multiprobe vs the brute oracle
     for query vec_id 0 — the ANN quality metric, reported as a row."""
@@ -1269,6 +1283,7 @@ QUERIES = {
     "doc_near_dup_stats": q_doc_near_dup_stats,
     "doc_simhash_stats": q_doc_simhash_stats,
     "emb_lsh_recall": q_emb_lsh_recall,
+    "emb_ivf_recall": q_emb_ivf_recall,
     # rows-only (no DuckDB view of the synthetic repo table)
     "repo_pagerank_top": q_repo_pagerank_top,
     "repo_components": q_repo_components,

@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (``array<float>``).
 
-Two regimes (the task brief's ANN requirement):
+Three regimes (the task brief's ANN requirement):
 
 - **Brute-force cosine top-k** — the exactness baseline. The score is
   pure JVM (`aggregate`/`zip_with` fold in float64), so it is
@@ -14,6 +14,12 @@ Two regimes (the task brief's ANN requirement):
   batch); at 100 TB the bucketed table is written partitioned by
   bucket so a query probes ≤ b+1 partitions instead of scanning
   everything.
+- **IVF (inverted-file, coarse k-means)** — the data-adaptive scale
+  path: a driver-sized centroid table (k×dim floats) learned on a
+  deterministic sample, one Arrow matmul assigns every vector to its
+  nearest-centroid cell, queries probe the ``nprobe`` nearest cells.
+  On clustered (real-embedding) data IVF cells match the data layout
+  where LSH's random hyperplanes cannot.
 
 Embedding-cosine near-dup pairs reuse the same bucketer: candidate
 pairs within a bucket, exact cosine verify — mirrors the
@@ -219,3 +225,100 @@ def embedding_near_dup_pairs(
     cand = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
     scored = cand.select("a", "b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
     return scored.filter(F.col("cos") >= threshold)
+
+
+# --------------------------------------------------------------------- IVF
+def ivf_centroids(
+    emb: DataFrame,
+    k: int = 64,
+    seed: int = 11,
+    sample_size: int = 4096,
+    n_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer for IVF: mini k-means (Lloyd)
+    over a deterministic sample, run on the driver.
+
+    Scale shape: the sample is the ``sample_size`` smallest ids (one
+    TakeOrderedAndProject — deterministic at any parallelism, no
+    ``sample()`` nondeterminism), the centroid table is k×dim floats
+    (kilobytes — always driver/broadcast sized), and the expensive
+    full-corpus pass happens only in :func:`ivf_assign` as one Arrow
+    matmul over the executors. Vectors are L2-normalized so nearest
+    centroid by dot == by cosine.
+    """
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    mat = np.vstack([r[vec_col] for r in rows]).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    rng = np.random.default_rng(seed)
+    k = min(k, len(mat))
+    cent = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for j in range(k):
+            members = mat[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                cent[j] = c / (n if n else 1.0)
+    return cent
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, cell): nearest-centroid cell per vector — one
+    Arrow-batched matmul per batch, no per-row Python. At 100 TB the
+    result is written ``partitionBy(cell)`` so a query reads only its
+    probed cells (partition pruning does the index lookup)."""
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            cell = np.argmax((mat / norms[:, None]) @ cent.T, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: pdf[vec_col], "cell": cell.astype(np.int32)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via IVF: score only vectors whose cell is among the
+    query's ``nprobe`` nearest centroids (cell filter = partition
+    pruning on a cell-partitioned table), exact cosine within.
+    Recall < 1 by design; :func:`cosine_topk` is the oracle."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn else 1.0)
+    probes = [int(c) for c in np.argsort(-(centroids @ q))[:nprobe]]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = assigned.filter(F.col("cell").isin(probes))
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )

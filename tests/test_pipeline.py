@@ -238,3 +238,34 @@ def test_knn_join_deterministic_under_ties(spark):
     queries = spark.createDataFrame([(0, base)], "qid long, embedding array<float>")
     got = [r["vec_id"] for r in simsearch.knn_join(df, queries, k=3).orderBy(F.desc("cos"), F.asc("vec_id")).collect()]
     assert got == [0, 1, 2]
+
+
+# ------------------------------------------------------------------ IVF
+def test_ivf_assign_deterministic_and_complete(spark, emb):
+    df, vecs = emb
+    cent = simsearch.ivf_centroids(df, k=4, sample_size=40)
+    assert cent.shape == (4, 8)
+    a1 = {r["vec_id"]: r["cell"] for r in simsearch.ivf_assign(df, cent).collect()}
+    a2 = {r["vec_id"]: r["cell"] for r in simsearch.ivf_assign(df.repartition(7), cent).collect()}
+    assert a1 == a2, "cell assignment must not depend on partitioning"
+    assert len(a1) == 40
+    assert all(0 <= c < 4 for c in a1.values())
+
+
+def test_ivf_topk_finds_planted_near_dup(spark, emb):
+    df, vecs = emb
+    cent = simsearch.ivf_centroids(df, k=4, sample_size=40)
+    assigned = simsearch.ivf_assign(df, cent)
+    got = [
+        r["vec_id"]
+        for r in simsearch.ivf_topk(assigned, cent, [float(x) for x in vecs[0]], k=5, nprobe=1).collect()
+    ]
+    # vector 0 and its planted near-dup 7 share a cell (cosine ~0.9999)
+    assert got[0] == 0 and 7 in got[:2]
+    # full probe == brute (recall 1 when every cell is scanned)
+    brute = [r["vec_id"] for r in simsearch.cosine_topk(df, [float(x) for x in vecs[0]], k=5).collect()]
+    full = [
+        r["vec_id"]
+        for r in simsearch.ivf_topk(assigned, cent, [float(x) for x in vecs[0]], k=5, nprobe=4).collect()
+    ]
+    assert full == brute
