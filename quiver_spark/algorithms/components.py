@@ -69,8 +69,14 @@ def connected_components(
     total = num_iters if fixed else max_iters
     state0 = graph.vertices.select("id", F.col("id").alias("component"))
     if strategy == "auto":
-        n = graph.vertices.count()
-        strategy = "bhj" if n <= 50_000_000 else "smj"
+        # tiny graphs: mirror fixed costs dominate → smj (measured
+        # 14.5s vs 19.0s on the 200k-edge repo graph); mirror while
+        # state is broadcast-sized; smj beyond
+        if graph.edges.count() < 2_000_000:
+            strategy = "smj"
+        else:
+            n = graph.vertices.count()
+            strategy = "bhj" if n <= 50_000_000 else "smj"
 
     if strategy == "bhj":
         n_blocks = n_blocks or max(spark.sparkContext.defaultParallelism, 8)

@@ -50,7 +50,12 @@ def label_propagation(
     spark = graph.spark
     runner = runner or SuperstepRunner(spark)
     if strategy == "auto":
-        strategy = "bhj" if graph.vertices.count() <= 50_000_000 else "smj"
+        # tiny graphs: mirror fixed costs dominate → smj (measured
+        # 12.2s vs 16.3s on the 200k-edge repo graph)
+        if graph.edges.count() < 2_000_000:
+            strategy = "smj"
+        else:
+            strategy = "bhj" if graph.vertices.count() <= 50_000_000 else "smj"
     if direction == "both":
         msgs_edges = (
             graph.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))

@@ -125,12 +125,23 @@ def pagerank(
         ids.unpersist()
         return SuperstepResult(state=spark.createDataFrame([], "id long, rank double"), supersteps=0)
     if strategy == "auto":
-        # mirror strategies need the state resident per executor; at
-        # ~16 B/vertex, 50M vertices ≈ 800 MB broadcast — fine on a
-        # real executor, beyond that switch to the cogrouped CSR path
-        # (state never has to fit in one place). bhj measured fastest
-        # AND best-scaling of the mirror strategies (BENCH/BASELINE.md).
-        strategy = "bhj" if n <= 50_000_000 else "csr"
+        # three measured regimes (BENCH/BASELINE.md):
+        # - tiny graphs (< ~2M edges): the mirror strategies' fixed
+        #   per-superstep costs (broadcast build, block layout)
+        #   dominate — plain smj with AQE-coalesced shuffles is ~2x
+        #   faster (15.4s vs 34.8s on the 200k-edge sf0.1 repo graph);
+        # - mirror range: state resident per executor at ~16 B/vertex
+        #   (50M vertices ≈ 800 MB broadcast); bhj measured fastest AND
+        #   best-scaling of the mirror strategies at 80M edges;
+        # - beyond-broadcast: cogrouped CSR — state never has to fit
+        #   in one place.
+        m = graph.edges.count()
+        if m < 2_000_000:
+            strategy = "smj"
+        elif n <= 50_000_000:
+            strategy = "bhj"
+        else:
+            strategy = "csr"
 
     # reusable weighted edge frame: each edge instance carries 1/outdeg(src)
     edges_w = (

@@ -189,12 +189,29 @@ def synthesize_powerlaw_edges(
 _IMPORT_RE = r"import (repo_\d{4})/(f\d+)"
 
 
-def file_vertices(repos: DataFrame) -> DataFrame:
+def slim_scan(repos: DataFrame) -> DataFrame:
+    """ONE pass over the heavy ``content`` column: sha256 and import
+    extraction computed together, content dropped. Every ingest
+    product derives from this metadata-sized frame, so the raw repo
+    table is scanned exactly once — at 100 TB the content scan IS the
+    ingest cost, and caching the slim projection (no content column)
+    is cheap at any scale."""
+    return repos.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2("content", 256).alias("content_sha"),
+        _extract_imports("content").alias("imps"),
+    )
+
+
+def file_vertices(slim: DataFrame) -> DataFrame:
     """One vertex per distinct (repo, path): id, labels, content sha of
-    the newest commit (max commit hex as tie-break)."""
-    sha = repos.withColumn("content_sha", F.sha2("content", 256))
+    the newest commit (max commit hex as tie-break). Takes the
+    :func:`slim_scan` frame."""
     newest = (
-        sha.groupBy("repo", "path")
+        slim.groupBy("repo", "path")
         .agg(F.max(F.struct(F.col("commit"), F.col("lang"), F.col("content_sha"))).alias("m"))
         .select(
             F.xxhash64("repo", "path").alias("id"),
@@ -207,9 +224,9 @@ def file_vertices(repos: DataFrame) -> DataFrame:
     return newest
 
 
-def dir_vertices(repos: DataFrame) -> DataFrame:
+def dir_vertices(slim: DataFrame) -> DataFrame:
     """One vertex per distinct (repo, dir prefix); lang/content NULL."""
-    files = repos.select("repo", "path").dropDuplicates()
+    files = slim.select("repo", "path").dropDuplicates()
     # explode every proper prefix of the dir chain
     segs = files.withColumn("parts", F.split("path", "/"))
     prefixes = segs.select(
@@ -230,11 +247,11 @@ def dir_vertices(repos: DataFrame) -> DataFrame:
     )
 
 
-def contains_edges(repos: DataFrame) -> DataFrame:
+def contains_edges(slim: DataFrame) -> DataFrame:
     """dir→child edges: every adjacent (prefix, longer-prefix) pair of
     each path, plus dir→file. etype=contains, commit NULL (structure,
     not a commit-scoped fact)."""
-    files = repos.select("repo", "path").dropDuplicates()
+    files = slim.select("repo", "path").dropDuplicates()
     segs = files.withColumn("parts", F.split("path", "/"))
     pairs = segs.select(
         "repo",
@@ -266,11 +283,12 @@ def _extract_imports(content: pd.Series) -> pd.Series:
     return content.map(lambda c: [{"trepo": m[0], "tstem": m[1]} for m in rx.findall(c or "")])
 
 
-def imports_edges(repos: DataFrame) -> DataFrame:
+def imports_edges(slim: DataFrame) -> DataFrame:
     """file→file edges, one per import statement per commit: parallel
-    labeled edges across commits survive (multigraph Set[B])."""
+    labeled edges across commits survive (multigraph Set[B]). Imports
+    were already extracted by :func:`slim_scan`."""
     hits = (
-        repos.select("repo", "path", "commit", _extract_imports("content").alias("imps"))
+        slim.select("repo", "path", "commit", "imps")
         .withColumn("imp", F.explode("imps"))
         .select(
             F.xxhash64("repo", "path").alias("src"),
@@ -281,7 +299,7 @@ def imports_edges(repos: DataFrame) -> DataFrame:
     )
     # resolve targets: join on (repo, file stem)
     targets = (
-        repos.select("repo", "path")
+        slim.select("repo", "path")
         .dropDuplicates()
         .select(
             F.col("repo").alias("trepo"),
@@ -297,9 +315,16 @@ def imports_edges(repos: DataFrame) -> DataFrame:
 
 
 def ingest(repos: DataFrame) -> Graph:
-    """Full repo table → link graph (vertices ∪ dirs, contains ∪ imports)."""
-    v = file_vertices(repos).unionByName(dir_vertices(repos)).dropDuplicates(["id"])
-    e = contains_edges(repos).unionByName(imports_edges(repos))
+    """Full repo table → link graph (vertices ∪ dirs, contains ∪ imports).
+
+    The content column is scanned ONCE (:func:`slim_scan`); the slim
+    projection is persisted because the four graph products (and
+    safe_mk_graph's referential semi-joins) each traverse it. It is
+    metadata-sized (no content), so the cache is safe at any scale.
+    """
+    slim = slim_scan(repos).persist()
+    v = file_vertices(slim).unionByName(dir_vertices(slim)).dropDuplicates(["id"])
+    e = contains_edges(slim).unionByName(imports_edges(slim))
     return Graph.safe_mk_graph(v, e)
 
 
