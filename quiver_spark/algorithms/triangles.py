@@ -61,12 +61,17 @@ def _triangle_triples(graph: Graph) -> DataFrame:
     e2 = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
     wedges = e1.join(e2, "y")
     closing = o.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    return wedges.join(closing, ["x", "z"], "left_semi").select("x", "y", "z")
+    out = wedges.join(closing, ["x", "z"], "left_semi").select("x", "y", "z")
+    out._qs_oriented = o  # noqa: SLF001 — callers may unpersist after materializing
+    return out
 
 
 def triangle_count(graph: Graph) -> int:
     """Exact global triangle count."""
-    return _triangle_triples(graph).count()
+    t = _triangle_triples(graph)
+    n = t.count()
+    t._qs_oriented.unpersist()  # noqa: SLF001 — release the oriented-edge cache
+    return n
 
 
 def triangles_per_vertex(graph: Graph) -> DataFrame:

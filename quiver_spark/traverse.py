@@ -13,12 +13,16 @@ Every traversal below is the same loop:
     frontier_{k+1} = E ⋈ frontier_k on the direction column,
                      minus visited, deduped (min-parent tie-break)
 
-The frontier is explicitly ``broadcast()`` — it is small relative to
-E by definition of frontier expansion, and broadcasting turns the
-per-step join into a map-side hash join with **zero shuffle of the
-edge table** (E is read with src/dst pruned). ``localCheckpoint``
-every ``checkpoint_every`` steps truncates the exponentially-growing
-lineage (SURVEY.md §4.3).
+The frontier is ``broadcast()``-hinted only while its (already
+materialized) row count is under ``BROADCAST_FRONTIER_MAX`` —
+broadcasting turns the per-step join into a map-side hash join with
+**zero shuffle of the edge table** (E is read with src/dst pruned).
+A frontier CAN be huge (``dff`` seeds every vertex; BFS on a
+small-diameter power-law graph reaches half the graph in one hop), and
+an unconditional broadcast of a 10^9-row frontier is a driver OOM at
+scale — past the threshold the join falls back to shuffle and AQE
+picks the strategy. ``localCheckpoint`` every ``checkpoint_every``
+steps truncates the exponentially-growing lineage (SURVEY.md §4.3).
 
 DFS *visit order* is inherently sequential; the engine reproduces
 sets / levels / parent trees at scale, and offers an exact-order
@@ -38,6 +42,10 @@ from quiver_spark.graph import Graph, _ids_df
 
 # direction → which edge column the frontier matches / expands to
 _DIRS = {"out": ("src", "dst"), "in": ("dst", "src")}
+
+# frontier rows above this skip the broadcast hint (~24 B/row → ≈120 MB;
+# beyond that the exchange-based join is the safe plan)
+BROADCAST_FRONTIER_MAX = 5_000_000
 
 
 def _edges_for(graph: Graph, direction: str) -> DataFrame:
@@ -89,12 +97,14 @@ def bfs(
         level = 0
         frontier = frontier.localCheckpoint()
         visited = visited.localCheckpoint()
+        frontier_n = frontier.count()
         while True:
             if max_depth is not None and level >= max_depth:
                 break
             level += 1
+            f_hint = F.broadcast(frontier) if frontier_n <= BROADCAST_FRONTIER_MAX else frontier
             nxt = (
-                edges.join(F.broadcast(frontier), edges["u"] == frontier["id"])
+                edges.join(f_hint, edges["u"] == frontier["id"])
                 .select(
                     F.col("v").alias("id"),
                     F.lit(level).alias("level"),
@@ -108,7 +118,8 @@ def bfs(
                 .select("id", "level", F.col("pr.parent").alias("parent"), F.col("pr.root").alias("root"))
             )
             nxt = nxt.localCheckpoint()  # also materializes for the count
-            if nxt.isEmpty():
+            frontier_n = nxt.count()  # cached scan; also the next hint decision
+            if frontier_n == 0:
                 break
             visited = visited.unionByName(nxt)
             if level % checkpoint_every == 0:
