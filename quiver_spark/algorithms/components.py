@@ -97,12 +97,17 @@ def connected_components(
         if strategy == "bhj":
             # self-loops make the min over incoming messages total:
             # every vertex hears its own component — one broadcast,
-            # zero exchanges, done
+            # zero exchanges, done. The self-loop row (u == v) also
+            # carries the vertex's OLD component, so change detection
+            # folds into the same aggregate (no per-round join job).
             new_state = (
                 und.join(F.broadcast(state.withColumnRenamed("id", "u")), "u")
                 .groupBy("block", F.col("v").alias("id"))
-                .agg(F.min("component").alias("component"))
-                .select("id", "component")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.min(F.when(F.col("u") == F.col("v"), F.col("component"))).alias("_old"),
+                )
+                .select("id", "component", (F.col("component") != F.col("_old")).alias("_changed"))
             )
         else:
             nbr_min = (
@@ -110,20 +115,18 @@ def connected_components(
                 .groupBy(F.col("v").alias("id"))
                 .agg(F.min("component").alias("nbr_comp"))
             )
-            new_state = (
-                state.join(nbr_min, "id", "left")
-                .select("id", F.least(F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))).alias("component"))
+            new_comp = F.least(F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component")))
+            new_state = state.join(nbr_min, "id", "left").select(
+                "id",
+                new_comp.alias("component"),
+                (new_comp != F.col("component")).alias("_changed"),
             )
         if fixed:
-            return new_state, None
+            return new_state.select("id", "component"), None
         new_state = new_state.localCheckpoint()
         new_state._qs_checkpointed = True  # noqa: SLF001 — runner contract
-        changed = (
-            new_state.join(state.select("id", F.col("component").alias("_old")), "id")
-            .filter(F.col("component") != F.col("_old"))
-            .count()
-        )
-        return new_state, float(changed)
+        changed = new_state.agg(F.sum(F.col("_changed").cast("int"))).collect()[0][0] or 0
+        return new_state.drop("_changed"), float(changed)
 
     try:
         # delta = #vertices that changed component; fixpoint at 0
