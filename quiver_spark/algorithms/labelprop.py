@@ -128,20 +128,30 @@ def label_propagation(
                 .groupBy("id")
                 .agg(F.min("label").alias("new_label"))
             )
-            new_state = (
-                state.join(best, "id", "left")
-                .select("id", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
+            # old label is in-frame here, so change detection folds
+            # into the same plan (no separate join job per round)
+            new_state = state.join(best, "id", "left").select(
+                "id",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+                (F.coalesce(F.col("new_label"), F.col("label")) != F.col("label")).alias("_changed"),
             )
         if fixed:
-            return new_state, None
+            return new_state.select("id", "label"), None
         new_state = new_state.localCheckpoint()
         new_state._qs_checkpointed = True  # noqa: SLF001 — runner contract
-        changed = (
-            new_state.join(state.select("id", F.col("label").alias("_old")), "id")
-            .filter(F.col("label") != F.col("_old"))
-            .count()
-        )
-        return new_state, float(changed)
+        if strategy == "bhj":
+            # the mirror round has no old-label column (ids_b carries
+            # only the seed); a second state broadcast inside the hot
+            # DAG is the measured AQE trap, so the fixpoint check stays
+            # a separate small join over the two checkpointed states
+            changed = (
+                new_state.join(state.select("id", F.col("label").alias("_old")), "id")
+                .filter(F.col("label") != F.col("_old"))
+                .count()
+            )
+            return new_state, float(changed)
+        changed = new_state.agg(F.sum(F.col("_changed").cast("int"))).collect()[0][0] or 0
+        return new_state.drop("_changed"), float(changed)
 
     try:
         return runner.run(state0, step, tol=None if fixed else 0.0, max_iters=total)
