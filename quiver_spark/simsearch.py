@@ -147,8 +147,16 @@ def knn_join(
     """Exact k-NN of every query vector against the corpus: one
     blocked matmul per (corpus-partition × broadcast query matrix)
     Arrow kernel, then a global per-query top-k. The query side must
-    be broadcast-sized (it is collected to numpy); the corpus side
-    streams partition-local."""
+    be broadcast-sized (it is collected to numpy — guarded below); the
+    corpus side streams partition-local. For query sets beyond the
+    guard, bucket both sides (lsh_bucket / ivf_assign) and join per
+    bucket instead."""
+    n_q = queries.count()
+    if n_q > 1_000_000:
+        raise ValueError(
+            f"knn_join collects the query side to the driver ({n_q} rows > 1M); "
+            "bucket both sides (lsh_bucket/ivf_assign) for query sets this large"
+        )
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     qids = qpdf[query_id_col].to_numpy(np.int64)
     qmat = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)

@@ -109,3 +109,20 @@ def test_cheapest_path_costs(spark):
     assert costs[0] == (0.0, None)
     assert costs[3] == (2.0, 1)  # via 0→1→3, not 0→2→3 (5.5)
     assert costs[2] == (5.0, 0)
+
+
+def test_bfs_non_broadcast_fallback_same_result(spark, monkeypatch):
+    """Frontiers past BROADCAST_FRONTIER_MAX skip the broadcast hint;
+    the exchange-plan fallback must produce identical levels/parents."""
+    from quiver_spark import traverse as tv
+    from quiver_spark.graph import Graph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, "e") for i in range(50)] + [(0, i, "e") for i in range(2, 30, 3)],
+        "src long, dst long, etype string",
+    )
+    g = Graph.from_edges(edges)
+    normal = sorted(tuple(r) for r in tv.bfs(g, [0]).collect())
+    monkeypatch.setattr(tv, "BROADCAST_FRONTIER_MAX", 2)
+    fallback = sorted(tuple(r) for r in tv.bfs(g, [0]).collect())
+    assert normal == fallback
