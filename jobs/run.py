@@ -68,7 +68,10 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="quiver-spark")
     ap.add_argument(
         "cmd",
-        choices=["ingest", "pagerank", "components", "labelprop", "triangles", "synthesize", "near-dups"],
+        choices=[
+            "ingest", "pagerank", "components", "labelprop", "triangles",
+            "synthesize", "near-dups", "ann-index",
+        ],
     )
     ap.add_argument("--input", help="repo table URI (repo,path,commit,lang,content)")
     ap.add_argument("--edges-input", help="pre-built edge table URI (src,dst,...) instead of --input")
@@ -87,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--label-col", default="lang")
     ap.add_argument("--lp-iters", type=int, default=10)
     ap.add_argument("--jaccard", type=float, default=0.7, help="near-dups verify threshold")
+    ap.add_argument("--ivf-cells", type=int, default=64, help="ann-index coarse centroid count")
     args = ap.parse_args(argv)
 
     spark = _spark(args)
@@ -108,6 +112,25 @@ def main(argv: list[str] | None = None) -> int:
 
         io.write(ing.synthesize_repo_table(spark, n_files=args.n_files, seed=args.seed), args.output)
         print(json.dumps({"job": "synthesize", "n_files": args.n_files, "output": args.output}))
+        return 0
+
+    if args.cmd == "ann-index":
+        # IVF index build: assign every vector to its coarse cell and
+        # write partitioned BY CELL — at scale an ANN query then reads
+        # only its nprobe cells (partition pruning IS the index probe)
+        from quiver_spark import simsearch
+
+        emb = _read(spark, args.input, args.format)
+        cent = simsearch.ivf_centroids(emb, k=args.ivf_cells)
+        assigned = simsearch.ivf_assign(emb, cent)
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(args.output)
+        import numpy as np
+
+        np.save(args.output + "_centroids.npy", cent)
+        print(json.dumps({
+            "job": "ann-index", "cells": int(args.ivf_cells),
+            "vectors": io.read(args.output).count(), "output": args.output,
+        }))
         return 0
 
     if args.cmd == "near-dups":

@@ -87,3 +87,20 @@ def test_submit_pagerank_job_and_resume(tmp_path):
     )
     assert res2["resumed_from"] == 4
     assert res2["supersteps"] == 5  # ran only 5..9
+
+
+def test_submit_ann_index_partitioned_by_cell(tmp_path):
+    """ann-index writes the IVF-assigned table partitioned by cell —
+    the partition layout that makes an ANN probe a pruned read."""
+    import glob
+
+    out = _submit(
+        tmp_path,
+        "ann-index",
+        "--input", "/root/testdata/sf0.001/embeddings.parquet",
+        "--output", str(tmp_path / "cells"),
+        "--ivf-cells", "8",
+    )
+    assert out["job"] == "ann-index" and out["vectors"] > 0
+    parts = glob.glob(str(tmp_path / "cells" / "cell=*"))
+    assert len(parts) >= 2, f"expected cell= partition dirs, got {parts}"
