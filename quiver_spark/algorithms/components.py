@@ -19,11 +19,43 @@ O(log^2 n) rounds regardless of diameter).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from quiver_spark.graph import Graph
 from quiver_spark.superstep import SuperstepRunner, SuperstepResult
+
+
+def _cc_csr_kernel(e_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-block HashMin: out[dst] = min over in-edges of comp[src],
+    with the self-loop row carrying dst's OLD component out-of-band so
+    change detection needs no extra join. Mirrors csr._spmv_kernel
+    (dst-sorted persisted layout → sort-free reduceat)."""
+    if e_pdf.empty or s_pdf.empty:
+        return pd.DataFrame(
+            {"dst": pd.Series(dtype="int64"), "pmin": pd.Series(dtype="int64"),
+             "pold": pd.Series(dtype="int64")}
+        )
+    src = e_pdf["src"].to_numpy(np.int64)
+    dst = e_pdf["dst"].to_numpy(np.int64)
+    if not np.all(dst[1:] >= dst[:-1]):  # fallback: unsorted input
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+    sid = s_pdf["id"].to_numpy(np.int64)
+    scomp = s_pdf["component"].to_numpy(np.int64)
+    so = np.argsort(sid, kind="stable")
+    sid_s, scomp_s = sid[so], scomp[so]
+    pos = np.clip(np.searchsorted(sid_s, src), 0, len(sid_s) - 1)
+    comp = np.where(sid_s[pos] == src, scomp_s[pos], np.iinfo(np.int64).max)
+    starts = np.flatnonzero(np.concatenate(([True], dst[1:] != dst[:-1])))
+    udst = dst[starts]
+    pmin = np.minimum.reduceat(comp, starts)
+    # the self-loop (src == dst) carries dst's own/old component
+    self_comp = np.where(src == dst, comp, np.iinfo(np.int64).min)
+    pold = np.maximum.reduceat(self_comp, starts)
+    return pd.DataFrame({"dst": udst, "pmin": pmin, "pold": pold})
 
 
 def _undirected_pairs(graph: Graph) -> DataFrame:
@@ -58,8 +90,13 @@ def connected_components(
     runs partition-complete. The self-loop carries each vertex's own
     component, so no second state join is needed anywhere in the hot
     DAG (the lesson from PageRank's bhj: a second broadcast of the
-    state made late-round walls grow ~2x/step). ``auto`` mirrors
-    while the vertex state is broadcast-sized.
+    state made late-round walls grow ~2x/step). ``csr`` is the
+    beyond-broadcast tier — the pair table persisted as (block,
+    dst)-sorted CSR blocks keyed by hash(src), the state shuffled to
+    the same blocking, and a cogrouped Arrow kernel doing the per-dst
+    min (plus old-component extraction from the self-loop row) with
+    no numpy sort per round. ``auto`` tiers tiny → smj, mirror-sized
+    → bhj, beyond → csr.
     """
     if algorithm == "two_phase":
         return _two_phase_cc(graph, max_iters=max_iters, runner=runner)
@@ -71,15 +108,16 @@ def connected_components(
     if strategy == "auto":
         # tiny graphs: mirror fixed costs dominate → smj (measured
         # 14.5s vs 19.0s on the 200k-edge repo graph); mirror while
-        # state is broadcast-sized; smj beyond
+        # state is broadcast-sized; cogrouped CSR beyond (state never
+        # has to fit in one place — same tiering as pagerank)
         if graph.edges.count() < 2_000_000:
             strategy = "smj"
         else:
             n = graph.vertices.count()
-            strategy = "bhj" if n <= 50_000_000 else "smj"
+            strategy = "bhj" if n <= 50_000_000 else "csr"
 
+    n_blocks = n_blocks or max(spark.sparkContext.defaultParallelism, 8)
     if strategy == "bhj":
-        n_blocks = n_blocks or max(spark.sparkContext.defaultParallelism, 8)
         und = (
             _undirected_pairs(graph)
             .unionByName(graph.vertices.select(F.col("id").alias("u"), F.col("id").alias("v")))
@@ -87,6 +125,20 @@ def connected_components(
             .withColumn("block", F.pmod(F.xxhash64("v"), F.lit(n_blocks)).cast("int"))
             .repartition(n_blocks, "block")
             .sortWithinPartitions("block", "v")
+            .persist()
+        )
+    elif strategy == "csr":
+        # self-loops included: every vertex receives its own component,
+        # and the kernel reads the old component off the (src == dst)
+        # row — the beyond-broadcast path, blocked like csr.blocked_edges
+        und = (
+            _undirected_pairs(graph)
+            .unionByName(graph.vertices.select(F.col("id").alias("u"), F.col("id").alias("v")))
+            .dropDuplicates()
+            .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+            .withColumn("block", F.pmod(F.xxhash64("src"), F.lit(n_blocks)).cast("int"))
+            .repartition(n_blocks, "block")
+            .sortWithinPartitions("block", "dst")
             .persist()
         )
     else:
@@ -109,6 +161,18 @@ def connected_components(
                 )
                 .select("id", "component", (F.col("component") != F.col("_old")).alias("_changed"))
             )
+        elif strategy == "csr":
+            state_b = state.withColumn(
+                "block", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int")
+            )
+            partials = (
+                und.groupBy("block")
+                .cogroup(state_b.groupBy("block"))
+                .applyInPandas(lambda e, s: _cc_csr_kernel(e, s), "dst long, pmin long, pold long")
+            )
+            new_state = partials.groupBy(F.col("dst").alias("id")).agg(
+                F.min("pmin").alias("component"), F.max("pold").alias("_old")
+            ).select("id", "component", (F.col("component") != F.col("_old")).alias("_changed"))
         else:
             nbr_min = (
                 und.join(state.withColumnRenamed("id", "u"), "u")

@@ -273,3 +273,23 @@ def test_pagerank_adaptive_salting_equals_plain(spark):
     assert a.keys() == b.keys()
     for k in a:
         assert math.isclose(a[k], b[k], rel_tol=1e-9)
+
+
+def test_cc_csr_strategy_equals_smj(spark, two_cliques_bridge):
+    from quiver_spark.algorithms import connected_components
+
+    a = {r["id"]: r["component"] for r in connected_components(two_cliques_bridge, strategy="smj").state.collect()}
+    b = {r["id"]: r["component"] for r in connected_components(two_cliques_bridge, strategy="csr").state.collect()}
+    assert a == b
+
+
+def test_cc_csr_on_powerlaw_sample(spark):
+    from quiver_spark import ingest as ing
+    from quiver_spark.algorithms import connected_components
+    from quiver_spark.graph import Graph
+
+    edges = ing.synthesize_powerlaw_edges(spark, n_vertices=3000, n_edges=9000, seed=5)
+    g = Graph.from_edges(edges)
+    a = {r["id"]: r["component"] for r in connected_components(g, strategy="bhj").state.collect()}
+    b = {r["id"]: r["component"] for r in connected_components(g, strategy="csr").state.collect()}
+    assert a == b
