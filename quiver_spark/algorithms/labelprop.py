@@ -17,11 +17,58 @@ aggregation partial-combines map-side; the argmax is a max over a
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from quiver_spark.graph import Graph
 from quiver_spark.superstep import SuperstepRunner, SuperstepResult
+
+
+def _lp_csr_kernel(e_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-block label histogram: (dst, label, pcnt) partial counts.
+
+    Sort-free on the persisted (block, dst)-sorted layout: dst runs +
+    per-block label codes give a compact ``run_index * K + code`` key
+    for one bincount — no per-round numpy sort of the edge arrays.
+    """
+    empty = pd.DataFrame(
+        {"dst": pd.Series(dtype="int64"), "label": pd.Series(dtype="object"),
+         "pcnt": pd.Series(dtype="int64")}
+    )
+    if e_pdf.empty or s_pdf.empty:
+        return empty
+    src = e_pdf["src"].to_numpy(np.int64)
+    dst = e_pdf["dst"].to_numpy(np.int64)
+    if not np.all(dst[1:] >= dst[:-1]):  # fallback: unsorted input
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+    codes, uniques = pd.factorize(s_pdf["label"], sort=True)
+    sid = s_pdf["id"].to_numpy(np.int64)
+    so = np.argsort(sid, kind="stable")
+    sid_s, codes_s = sid[so], codes[so]
+    pos = np.clip(np.searchsorted(sid_s, src), 0, len(sid_s) - 1)
+    found = sid_s[pos] == src
+    code = np.where(found, codes_s[pos], -1)
+    # dst runs → run index per edge; compact (run, code) key → bincount
+    starts = np.flatnonzero(np.concatenate(([True], dst[1:] != dst[:-1])))
+    run_len = np.diff(np.append(starts, len(dst)))
+    run_idx = np.repeat(np.arange(len(starts)), run_len)
+    K = len(uniques)
+    keep = code >= 0
+    if not keep.any():
+        return empty
+    key = run_idx[keep] * K + code[keep]
+    cnt = np.bincount(key, minlength=len(starts) * K)
+    nz = np.flatnonzero(cnt)
+    return pd.DataFrame(
+        {
+            "dst": dst[starts][nz // K],
+            "label": uniques.take(nz % K).astype(object),
+            "pcnt": cnt[nz],
+        }
+    )
 
 
 def label_propagation(
@@ -51,11 +98,12 @@ def label_propagation(
     runner = runner or SuperstepRunner(spark)
     if strategy == "auto":
         # tiny graphs: mirror fixed costs dominate → smj (measured
-        # 12.2s vs 16.3s on the 200k-edge repo graph)
+        # 12.2s vs 16.3s on the 200k-edge repo graph); mirror-sized →
+        # bhj; beyond-broadcast → cogrouped-CSR histogram kernel
         if graph.edges.count() < 2_000_000:
             strategy = "smj"
         else:
-            strategy = "bhj" if graph.vertices.count() <= 50_000_000 else "smj"
+            strategy = "bhj" if graph.vertices.count() <= 50_000_000 else "csr"
     if direction == "both":
         msgs_edges = (
             graph.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -71,8 +119,8 @@ def label_propagation(
     total = num_iters if fixed else max_iters
     persisted = []
 
+    nb = n_blocks or max(spark.sparkContext.defaultParallelism, 8)
     if strategy == "bhj":
-        nb = n_blocks or max(spark.sparkContext.defaultParallelism, 8)
         msgs_edges = (
             msgs_edges.withColumn("block", F.pmod(F.xxhash64("v"), F.lit(nb)).cast("int"))
             .repartition(nb, "block")
@@ -88,6 +136,19 @@ def label_propagation(
         )
         ids_b.count()
         persisted.append(ids_b)
+    elif strategy == "csr":
+        # beyond-broadcast: (block, dst)-sorted CSR blocks keyed by
+        # hash(src); state shuffles to the same blocking each round
+        msgs_edges = (
+            msgs_edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+            .withColumn("block", F.pmod(F.xxhash64("src"), F.lit(nb)).cast("int"))
+            .repartition(nb, "block")
+            .sortWithinPartitions("block", "dst")
+            .persist()
+        )
+        seeds = state0.withColumnRenamed("label", "_seed").persist()
+        seeds.count()
+        persisted.append(seeds)
     else:
         msgs_edges = msgs_edges.persist()
     msgs_edges.count()
@@ -112,6 +173,27 @@ def label_propagation(
             new_state = (
                 ids_b.join(best, ["block", "id"], "left")
                 .select("id", F.coalesce(F.col("new_label"), F.col("_seed")).alias("label"))
+            )
+        elif strategy == "csr":
+            state_b = state.withColumn("block", F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int"))
+            hist = (
+                msgs_edges.groupBy("block")
+                .cogroup(state_b.groupBy("block"))
+                .applyInPandas(lambda e, s: _lp_csr_kernel(e, s), "dst long, label string, pcnt long")
+                .groupBy(F.col("dst").alias("id"), "label")
+                .agg(F.sum("pcnt").alias("cnt"))
+            )
+            maxc = hist.groupBy("id").agg(F.max("cnt").alias("maxc"))
+            best = (
+                hist.join(maxc, "id")
+                .filter(F.col("cnt") == F.col("maxc"))
+                .groupBy("id")
+                .agg(F.min("label").alias("new_label"))
+            )
+            # seed fallback for message-less vertices: vertex-sized SMJ
+            # (the broadcast trick is exactly what this tier can't use)
+            new_state = seeds.join(best, "id", "left").select(
+                "id", F.coalesce(F.col("new_label"), F.col("_seed")).alias("label")
             )
         else:
             hist = (
@@ -139,11 +221,12 @@ def label_propagation(
             return new_state.select("id", "label"), None
         new_state = new_state.localCheckpoint()
         new_state._qs_checkpointed = True  # noqa: SLF001 — runner contract
-        if strategy == "bhj":
-            # the mirror round has no old-label column (ids_b carries
-            # only the seed); a second state broadcast inside the hot
-            # DAG is the measured AQE trap, so the fixpoint check stays
-            # a separate small join over the two checkpointed states
+        if strategy in ("bhj", "csr"):
+            # these rounds have no old-label column in-frame (bhj's
+            # ids_b / csr's seeds carry only the seed); a second state
+            # broadcast inside the hot DAG is the measured AQE trap, so
+            # the fixpoint check stays a separate join over the two
+            # checkpointed states
             changed = (
                 new_state.join(state.select("id", F.col("label").alias("_old")), "id")
                 .filter(F.col("label") != F.col("_old"))

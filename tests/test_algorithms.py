@@ -293,3 +293,21 @@ def test_cc_csr_on_powerlaw_sample(spark):
     a = {r["id"]: r["component"] for r in connected_components(g, strategy="bhj").state.collect()}
     b = {r["id"]: r["component"] for r in connected_components(g, strategy="csr").state.collect()}
     assert a == b
+
+
+def test_lp_csr_strategy_equals_smj(spark):
+    from quiver_spark import ingest as ing
+    from quiver_spark.algorithms import label_propagation
+    from quiver_spark.graph import Graph
+    from pyspark.sql import functions as F
+
+    edges = ing.synthesize_powerlaw_edges(spark, n_vertices=2000, n_edges=6000, seed=7)
+    g0 = Graph.from_edges(edges)
+    g = Graph(g0.vertices.withColumn("lang", (F.col("id") % 7).cast("string")), g0.edges)
+    a = {r["id"]: r["label"] for r in label_propagation(g, num_iters=3, strategy="smj").state.collect()}
+    b = {r["id"]: r["label"] for r in label_propagation(g, num_iters=3, strategy="csr").state.collect()}
+    assert a == b
+    # fixpoint mode too (exercises the csr changed-count path)
+    c = {r["id"]: r["label"] for r in label_propagation(g, max_iters=6, strategy="csr").state.collect()}
+    d = {r["id"]: r["label"] for r in label_propagation(g, max_iters=6, strategy="smj").state.collect()}
+    assert c == d
