@@ -123,10 +123,16 @@ def main(argv: list[str] | None = None) -> int:
         emb = _read(spark, args.input, args.format)
         cent = simsearch.ivf_centroids(emb, k=args.ivf_cells)
         assigned = simsearch.ivf_assign(emb, cent)
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(args.output)
-        import numpy as np
-
-        np.save(args.output + "_centroids.npy", cent)
+        # both writes route through the format seam (parquet here,
+        # Iceberg writeTo on a cluster): the cell-partitioned vector
+        # table AND the centroid table — a centroids.npy on the driver's
+        # local filesystem would be unreadable from a cluster job
+        io.write(assigned, args.output, partition_by=["cell"])
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+            "cell int, centroid array<double>",
+        )
+        io.write(cent_df, args.output + "_centroids")
         print(json.dumps({
             "job": "ann-index", "cells": int(args.ivf_cells),
             "vectors": io.read(args.output).count(), "output": args.output,

@@ -227,16 +227,21 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_candidate_pairs(
-    sim_df: DataFrame, id_col: str = "doc_id", max_bucket: int = 64
+    sim_df: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
 ) -> DataFrame:
     """(a, b) pairs sharing at least one of four 16-bit simhash bands —
-    catches every pair with hamming distance ≤ 3 (pigeonhole).
+    catches every pair with hamming distance ≤ 3 (pigeonhole). That
+    guarantee holds only uncapped, so the hot-bucket guard is OPT-IN
+    here (default ``max_bucket=None``), unlike the minhash-LSH path
+    where banding is probabilistic to begin with.
 
-    Buckets wider than ``max_bucket`` are dropped before pairing
-    (same hot-bucket guard as :func:`lsh_candidate_pairs`): degenerate
-    corpora — empty/whitespace docs all hash to simhash 0, shared
-    boilerplate concentrates one band value — would otherwise make
-    the self-pairing quadratic in the hot bucket's width.
+    Pass ``max_bucket`` to drop buckets wider than it before pairing
+    (same guard as :func:`lsh_candidate_pairs`): degenerate corpora —
+    empty/whitespace docs all hash to simhash 0, shared boilerplate
+    concentrates one band value — make the self-pairing quadratic in
+    the hot bucket's width. Capping trades the hamming-≤3 recall
+    guarantee for bounded work; callers that cap can measure the loss
+    with :func:`simhash_bucket_stats`.
     """
     bands = sim_df.select(
         F.col(id_col),
@@ -252,11 +257,11 @@ def simhash_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bits")
-    small = (
-        bands.groupBy("band", "bits")
-        .agg(F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
-    )
+    small = bands.groupBy("band", "bits").agg(
+        F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n")
+    ).filter(F.col("n") > 1)
+    if max_bucket is not None:
+        small = small.filter(F.col("n") <= max_bucket)
     pairs = small.select(
         F.explode(
             F.filter(
@@ -271,3 +276,32 @@ def simhash_candidate_pairs(
         ).alias("p")
     ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     return pairs.dropDuplicates(["a", "b"])
+
+
+def simhash_bucket_stats(
+    sim_df: DataFrame, id_col: str = "doc_id", max_bucket: int = 64
+) -> DataFrame:
+    """One row per band: total buckets, buckets wider than
+    ``max_bucket``, and docs inside those dropped buckets — the recall
+    loss a capped :func:`simhash_candidate_pairs` run would pay, made
+    visible instead of silent. Broadcast-small output (<= 4 rows)."""
+    bands = sim_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bits"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bits")
+    widths = bands.groupBy("band", "bits").agg(F.count(F.lit(1)).alias("n"))
+    return widths.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("n") > max_bucket).cast("long")).alias("n_dropped_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(F.lit(0))).alias("n_dropped_docs"),
+    )

@@ -109,6 +109,17 @@ def load_graph(spark: SparkSession, path: str, verify: bool = True, io: "TableIO
     v = io.read(os.path.join(path, "vertices"))
     e = io.read(os.path.join(path, "edges"))
     if verify:
+        version = manifest.get("version")
+        if version != _VERSION:
+            # v1 manifests hold a plain-int xor-only hash; verifying it
+            # against the v2 "sum:xor" string would fail with a
+            # misleading "content hash" mismatch — fail with the
+            # actionable cause instead (verify=False still loads)
+            raise ValueError(
+                f"graph at {path} was written by manifest version {version}; "
+                f"this reader verifies version {_VERSION} only — re-save with "
+                "the current writer (save_graph) or load with verify=False"
+            )
         problems = []
         if v.count() != manifest["n_vertices"]:
             problems.append("vertex row count")

@@ -20,6 +20,7 @@ lineage tables).
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,10 +28,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _table_ident(catalog: str, target: str) -> str:
     """parquet targets are paths; iceberg targets are table idents —
-    derive one from the path tail so the same caller code works for
-    both branches (``a/b/state_k=00004`` → ``catalog.state_k_00004``)."""
-    tail = target.rstrip("/").rsplit("/", 1)[-1]
-    return f"{catalog}.{re.sub(r'[^A-Za-z0-9_]', '_', tail)}"
+    derive one from the FULL sanitized path plus a short stable digest
+    of it, so distinct graphs / run dirs never collide on one table
+    (``/runs/a/state_k=00004`` and ``/runs/b/state_k=00004`` must be
+    different tables: a tail-only ident would let a second run
+    silently clobber the first and resume from another run's state).
+    The tail is kept readable; the digest guarantees uniqueness within
+    identifier-length limits."""
+    norm = target.rstrip("/")
+    tail = re.sub(r"[^A-Za-z0-9_]", "_", norm).strip("_")[-80:]
+    digest = hashlib.sha256(norm.encode()).hexdigest()[:8]
+    return f"{catalog}.{tail}_{digest}"
 
 
 class TableIO:
@@ -54,11 +62,24 @@ class TableIO:
                 )
             self.catalog = cat
 
-    def write(self, df: DataFrame, target: str, mode: str = "overwrite") -> None:
+    def write(
+        self,
+        df: DataFrame,
+        target: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
         if self.fmt == "parquet":
-            df.write.mode(mode).parquet(target)
+            w = df.write.mode(mode)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(target)
         else:
             writer = df.writeTo(_table_ident(self.catalog, target))
+            if partition_by and mode == "overwrite":
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
             if mode == "overwrite":
                 writer.createOrReplace()
             else:

@@ -29,7 +29,15 @@ def test_unknown_format_rejected(spark):
 
 
 def test_table_ident_mapping():
-    assert _table_ident("lake", "/runs/x/state_k=00004") == "lake.state_k_00004"
+    # full-path sanitization: same tail under different run dirs must
+    # NOT collide on one Iceberg table (a second run would clobber the
+    # first and resume could read another run's checkpoint state)
+    a = _table_ident("lake", "/runs/x/state_k=00004")
+    b = _table_ident("lake", "/runs/y/state_k=00004")
+    assert a != b
+    assert a.startswith("lake.") and "state_k_00004" in a
+    # deterministic: the ident is a pure function of (catalog, path)
+    assert a == _table_ident("lake", "/runs/x/state_k=00004/")
 
 
 def test_graph_io_routes_through_seam(spark, tmp_path):
