@@ -27,48 +27,74 @@ from quiver_spark.superstep import SuperstepRunner, SuperstepResult
 
 
 def _lp_csr_kernel(e_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-block label histogram: (dst, label, pcnt) partial counts.
+    """Per-block label histogram: (dst, label, pcnt, is_old) partials.
 
     Sort-free on the persisted (block, dst)-sorted layout: dst runs +
     per-block label codes give a compact ``run_index * K + code`` key
     for one bincount — no per-round numpy sort of the edge arrays.
+
+    Rows with ``inj=True`` are the injected self-loops (one per
+    vertex, blocked with the vertex's own state): they are EXCLUDED
+    from the histogram (a vertex's own label must not vote — real
+    self-loop edges still do) and instead emit the vertex's OLD label
+    as an ``is_old`` row, so the round's fallback + change detection
+    need no extra vertex-sized join (the ``pold`` pattern from
+    :func:`~quiver_spark.algorithms.components._cc_csr_kernel`).
     """
     empty = pd.DataFrame(
         {"dst": pd.Series(dtype="int64"), "label": pd.Series(dtype="object"),
-         "pcnt": pd.Series(dtype="int64")}
+         "pcnt": pd.Series(dtype="int64"), "is_old": pd.Series(dtype=bool)}
     )
     if e_pdf.empty or s_pdf.empty:
         return empty
     src = e_pdf["src"].to_numpy(np.int64)
     dst = e_pdf["dst"].to_numpy(np.int64)
+    inj = e_pdf["inj"].to_numpy(bool)
     if not np.all(dst[1:] >= dst[:-1]):  # fallback: unsorted input
         order = np.argsort(dst, kind="stable")
-        src, dst = src[order], dst[order]
+        src, dst, inj = src[order], dst[order], inj[order]
     codes, uniques = pd.factorize(s_pdf["label"], sort=True)
     sid = s_pdf["id"].to_numpy(np.int64)
     so = np.argsort(sid, kind="stable")
     sid_s, codes_s = sid[so], codes[so]
-    pos = np.clip(np.searchsorted(sid_s, src), 0, len(sid_s) - 1)
-    found = sid_s[pos] == src
-    code = np.where(found, codes_s[pos], -1)
-    # dst runs → run index per edge; compact (run, code) key → bincount
-    starts = np.flatnonzero(np.concatenate(([True], dst[1:] != dst[:-1])))
-    run_len = np.diff(np.append(starts, len(dst)))
-    run_idx = np.repeat(np.arange(len(starts)), run_len)
-    K = len(uniques)
-    keep = code >= 0
-    if not keep.any():
-        return empty
-    key = run_idx[keep] * K + code[keep]
-    cnt = np.bincount(key, minlength=len(starts) * K)
-    nz = np.flatnonzero(cnt)
-    return pd.DataFrame(
-        {
-            "dst": dst[starts][nz // K],
-            "label": uniques.take(nz % K).astype(object),
-            "pcnt": cnt[nz],
-        }
-    )
+
+    def lookup(ids: np.ndarray) -> np.ndarray:
+        pos = np.clip(np.searchsorted(sid_s, ids), 0, len(sid_s) - 1)
+        return np.where(sid_s[pos] == ids, codes_s[pos], -1)
+
+    out = []
+    # injected self-loops → old-label rows (src == dst == the vertex,
+    # which lives in this block by construction: block = hash(src))
+    if inj.any():
+        oid = dst[inj]
+        ocode = lookup(src[inj])
+        ok = ocode >= 0
+        out.append(pd.DataFrame({
+            "dst": oid[ok],
+            "label": uniques.take(ocode[ok]).astype(object),
+            "pcnt": np.zeros(int(ok.sum()), dtype=np.int64),
+            "is_old": np.ones(int(ok.sum()), dtype=bool),
+        }))
+    src, dst = src[~inj], dst[~inj]  # masked subset stays dst-sorted
+    if len(dst):
+        code = lookup(src)
+        # dst runs → run index per edge; compact (run, code) key → bincount
+        starts = np.flatnonzero(np.concatenate(([True], dst[1:] != dst[:-1])))
+        run_len = np.diff(np.append(starts, len(dst)))
+        run_idx = np.repeat(np.arange(len(starts)), run_len)
+        K = len(uniques)
+        keep = code >= 0
+        if keep.any():
+            key = run_idx[keep] * K + code[keep]
+            cnt = np.bincount(key, minlength=len(starts) * K)
+            nz = np.flatnonzero(cnt)
+            out.append(pd.DataFrame({
+                "dst": dst[starts][nz // K],
+                "label": uniques.take(nz % K).astype(object),
+                "pcnt": cnt[nz],
+                "is_old": np.zeros(len(nz), dtype=bool),
+            }))
+    return pd.concat(out, ignore_index=True) if out else empty
 
 
 def label_propagation(
@@ -87,11 +113,15 @@ def label_propagation(
     when no vertex changes label (delta = #changed).
 
     ``strategy="bhj"`` is the zero-exchange mirror round: messages
-    persisted hash-blocked by destination, state broadcast, histogram
-    + argmax + seed-fallback all partition-complete (a vertex that
-    never receives a message provably keeps its SEED label — labels
-    only change via messages — so the static blocked vertex frame can
-    carry the fallback and no second state join is needed).
+    persisted hash-blocked by destination (plus one injected,
+    ``inj``-tagged self-loop per vertex), state broadcast, histogram +
+    argmax + fallback all partition-complete. The injected self-loop
+    picks up the vertex's OLD label from the same broadcast — it never
+    votes in the histogram, but provides both the keep-current-label
+    fallback for message-less vertices and the in-frame ``_changed``
+    flag, so fixpoint mode pays no per-round state join (the pattern
+    CC uses, components.py ``_cc_csr_kernel``). ``csr`` does the same
+    through the cogrouped Arrow kernel's ``is_old`` rows.
     ``auto`` mirrors while the state is broadcast-sized.
     """
     spark = graph.spark
@@ -119,36 +149,40 @@ def label_propagation(
     total = num_iters if fixed else max_iters
     persisted = []
 
+    # tagged self-loop injection (bhj/csr): one (v, v, inj=True) row
+    # per vertex rides the static blocked frame, carrying each
+    # vertex's OLD label into the round — fallback for message-less
+    # vertices AND in-frame change detection, with no per-round
+    # vertex-sized state join. Real self-loop edges keep inj=False and
+    # still vote in the histogram; injected rows never do.
+    self_loops = graph.vertices.select(
+        F.col("id").alias("u"), F.col("id").alias("v"), F.lit(True).alias("inj")
+    )
+
     nb = n_blocks or max(spark.sparkContext.defaultParallelism, 8)
     if strategy == "bhj":
         msgs_edges = (
-            msgs_edges.withColumn("block", F.pmod(F.xxhash64("v"), F.lit(nb)).cast("int"))
+            msgs_edges.withColumn("inj", F.lit(False))
+            .unionByName(self_loops)
+            .withColumn("block", F.pmod(F.xxhash64("v"), F.lit(nb)).cast("int"))
             .repartition(nb, "block")
             .sortWithinPartitions("block", "v")
             .persist()
         )
-        ids_b = (
-            state0.withColumnRenamed("label", "_seed")
-            .withColumn("block", F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int"))
-            .repartition(nb, "block")
-            .sortWithinPartitions("block", "id")
-            .persist()
-        )
-        ids_b.count()
-        persisted.append(ids_b)
     elif strategy == "csr":
         # beyond-broadcast: (block, dst)-sorted CSR blocks keyed by
-        # hash(src); state shuffles to the same blocking each round
+        # hash(src); state shuffles to the same blocking each round.
+        # Injected self-loops land in block hash(v) — the same block
+        # that holds v's state row, so the kernel can read its label.
         msgs_edges = (
-            msgs_edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+            msgs_edges.withColumn("inj", F.lit(False))
+            .unionByName(self_loops)
+            .select(F.col("u").alias("src"), F.col("v").alias("dst"), "inj")
             .withColumn("block", F.pmod(F.xxhash64("src"), F.lit(nb)).cast("int"))
             .repartition(nb, "block")
             .sortWithinPartitions("block", "dst")
             .persist()
         )
-        seeds = state0.withColumnRenamed("label", "_seed").persist()
-        seeds.count()
-        persisted.append(seeds)
     else:
         msgs_edges = msgs_edges.persist()
     msgs_edges.count()
@@ -156,10 +190,16 @@ def label_propagation(
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
         if strategy == "bhj":
+            joined = msgs_edges.join(F.broadcast(state.withColumnRenamed("id", "u")), "u")
             hist = (
-                msgs_edges.join(F.broadcast(state.withColumnRenamed("id", "u")), "u")
+                joined.filter(~F.col("inj"))
                 .groupBy("block", "v", "label")
                 .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            # the injected self-loop row picked up v's OWN label from
+            # the same broadcast — the old label, in-frame, for free
+            olds = joined.filter(F.col("inj")).select(
+                "block", F.col("v").alias("id"), F.col("label").alias("_old")
             )
             # hashpartitioning(block) satisfies every clustering below —
             # the whole round is partition-complete after one broadcast
@@ -170,18 +210,28 @@ def label_propagation(
                 .groupBy("block", F.col("v").alias("id"))
                 .agg(F.min("label").alias("new_label"))
             )
-            new_state = (
-                ids_b.join(best, ["block", "id"], "left")
-                .select("id", F.coalesce(F.col("new_label"), F.col("_seed")).alias("label"))
+            new_label = F.coalesce(F.col("new_label"), F.col("_old"))
+            new_state = olds.join(best, ["block", "id"], "left").select(
+                "id", new_label.alias("label"), (new_label != F.col("_old")).alias("_changed")
             )
         elif strategy == "csr":
             state_b = state.withColumn("block", F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int"))
-            hist = (
+            partials = (
                 msgs_edges.groupBy("block")
                 .cogroup(state_b.groupBy("block"))
-                .applyInPandas(lambda e, s: _lp_csr_kernel(e, s), "dst long, label string, pcnt long")
+                .applyInPandas(
+                    lambda e, s: _lp_csr_kernel(e, s),
+                    "dst long, label string, pcnt long, is_old boolean",
+                )
+            )
+            hist = (
+                partials.filter(~F.col("is_old"))
                 .groupBy(F.col("dst").alias("id"), "label")
                 .agg(F.sum("pcnt").alias("cnt"))
+            )
+            # exactly one is_old row per vertex (from block hash(v))
+            olds = partials.filter(F.col("is_old")).select(
+                F.col("dst").alias("id"), F.col("label").alias("_old")
             )
             maxc = hist.groupBy("id").agg(F.max("cnt").alias("maxc"))
             best = (
@@ -190,10 +240,12 @@ def label_propagation(
                 .groupBy("id")
                 .agg(F.min("label").alias("new_label"))
             )
-            # seed fallback for message-less vertices: vertex-sized SMJ
-            # (the broadcast trick is exactly what this tier can't use)
-            new_state = seeds.join(best, "id", "left").select(
-                "id", F.coalesce(F.col("new_label"), F.col("_seed")).alias("label")
+            # fallback + change detection off the kernel-emitted old
+            # label — the same vertex-sized SMJ the seed fallback cost,
+            # but no separate changed-count join per round anymore
+            new_label = F.coalesce(F.col("new_label"), F.col("_old"))
+            new_state = olds.join(best, "id", "left").select(
+                "id", new_label.alias("label"), (new_label != F.col("_old")).alias("_changed")
             )
         else:
             hist = (
@@ -219,20 +271,11 @@ def label_propagation(
             )
         if fixed:
             return new_state.select("id", "label"), None
+        # every tier now carries _changed in-frame (smj: old label in
+        # the join; bhj/csr: injected self-loops), so the fixpoint
+        # check is one cached-scan aggregate — no per-round join job
         new_state = new_state.localCheckpoint()
         new_state._qs_checkpointed = True  # noqa: SLF001 — runner contract
-        if strategy in ("bhj", "csr"):
-            # these rounds have no old-label column in-frame (bhj's
-            # ids_b / csr's seeds carry only the seed); a second state
-            # broadcast inside the hot DAG is the measured AQE trap, so
-            # the fixpoint check stays a separate join over the two
-            # checkpointed states
-            changed = (
-                new_state.join(state.select("id", F.col("label").alias("_old")), "id")
-                .filter(F.col("label") != F.col("_old"))
-                .count()
-            )
-            return new_state, float(changed)
         changed = new_state.agg(F.sum(F.col("_changed").cast("int"))).collect()[0][0] or 0
         return new_state.drop("_changed"), float(changed)
 

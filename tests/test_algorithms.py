@@ -311,3 +311,67 @@ def test_lp_csr_strategy_equals_smj(spark):
     c = {r["id"]: r["label"] for r in label_propagation(g, max_iters=6, strategy="csr").state.collect()}
     d = {r["id"]: r["label"] for r in label_propagation(g, max_iters=6, strategy="smj").state.collect()}
     assert c == d
+
+
+def test_lp_real_self_loop_votes_in_all_strategies(spark):
+    """A REAL self-loop edge lets a vertex vote for its own label; the
+    injected inj-tagged self-loops (bhj/csr fallback + change
+    detection) must NOT — all three tiers must agree on a graph that
+    contains a genuine self-loop."""
+    from quiver_spark.graph import Graph
+
+    v = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, "c")], "id long, lab string"
+    )
+    # vertex 1 has a self-loop plus one 'b' neighbor: the self-vote ties
+    # 'a' with 'b' and the min-label tie-break keeps 'a'; without the
+    # self-vote 'b' would win outright — distinguishes the semantics
+    e = spark.createDataFrame(
+        [(1, 1, "x"), (2, 1, "x"), (2, 3, "x"), (4, 2, "x")],
+        "src long, dst long, etype string",
+    )
+    g = Graph(v, e)
+    outs = {}
+    for strat in ("smj", "bhj", "csr"):
+        res = label_propagation(g, label_col="lab", num_iters=1, strategy=strat, n_blocks=2)
+        outs[strat] = {r["id"]: r["label"] for r in res.state.collect()}
+    assert outs["smj"] == outs["bhj"] == outs["csr"]
+    assert outs["smj"][1] == "a"  # self-vote tied, min-label break
+
+
+def test_lp_fixpoint_no_extra_join_job_per_round(spark):
+    """Round-2 finding: bhj/csr fixpoint mode paid a separate
+    vertex-sized changed-count join per round; the injected-self-loop
+    rewrite folds change detection in-frame for every tier. Evidence:
+    the MARGINAL job cost per extra fixpoint round in bhj/csr is no
+    higher than the (always in-frame) smj tier's on the same graph.
+    Marginal (iters=5 minus iters=3) rather than absolute counts —
+    setup jobs (broadcast materialization, persist counts) vary with
+    session state, but the per-round delta is the thing the rewrite
+    changed: the old code paid one extra join job per round."""
+    from quiver_spark.graph import Graph
+
+    # directed 30-cycle with all-distinct labels, direction="out":
+    # each vertex takes its single predecessor's label every round, so
+    # labels rotate forever and fixpoint mode runs all max_iters rounds
+    v = spark.createDataFrame([(i, str(i)) for i in range(30)], "id long, lab string")
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 30, "x") for i in range(30)], "src long, dst long, etype string"
+    )
+    g = Graph(v, e)
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_for(strat: str, iters: int) -> int:
+        n0 = len(tracker.getJobIdsForGroup(None))
+        res = label_propagation(
+            g, label_col="lab", max_iters=iters, strategy=strat, n_blocks=4, direction="out"
+        )
+        assert res.supersteps == iters
+        return len(tracker.getJobIdsForGroup(None)) - n0
+
+    def marginal(strat: str) -> int:
+        return jobs_for(strat, 5) - jobs_for(strat, 3)
+
+    smj_marg = marginal("smj")
+    assert marginal("bhj") <= smj_marg
+    assert marginal("csr") <= smj_marg
