@@ -248,15 +248,23 @@ def ivf_centroids(
     """Deterministic coarse quantizer for IVF: mini k-means (Lloyd)
     over a deterministic sample, run on the driver.
 
-    Scale shape: the sample is the ``sample_size`` smallest ids (one
-    TakeOrderedAndProject — deterministic at any parallelism, no
-    ``sample()`` nondeterminism), the centroid table is k×dim floats
+    Scale shape: the sample is the ``sample_size`` smallest values of
+    a seeded ``xxhash64(id, seed)`` (one TakeOrderedAndProject —
+    deterministic at any parallelism, no ``sample()`` nondeterminism,
+    and representative even when id order correlates with content,
+    unlike the lowest-id prefix it replaced), the centroid table is
+    k×dim floats
     (kilobytes — always driver/broadcast sized), and the expensive
     full-corpus pass happens only in :func:`ivf_assign` as one Arrow
     matmul over the executors. Vectors are L2-normalized so nearest
     centroid by dot == by cosine.
     """
-    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
     mat = np.vstack([r[vec_col] for r in rows]).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
