@@ -482,19 +482,16 @@ def q_remove_ledge_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-sliced-graph demo (SURVEY.md §2.11/2.12): the user
     transition multigraph — an edge u→v per consecutive event pair by
-    distinct users, weighted by occurrence count. Window+lag is the
-    Catalyst surface; at 100 TB you would sessionize per key instead
-    of a global order (this is the oracle-checkable demo shape)."""
-    from pyspark.sql import Window
+    distinct users, weighted by occurrence count. Scalable shape: the
+    global-order lag runs as bucketed per-partition windows + a
+    bounded boundary stitch (quiver_spark.events module doc) — the
+    event stream never passes through a single-task sort (plan-pinned
+    in tests/test_plans.py); the DuckDB twin stays the global-window
+    oracle."""
+    from quiver_spark import events as evops
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.orderBy("ts", "event_id")
-    trans = (
-        ev.select(F.lag("user_id").over(w).alias("src"), F.col("user_id").alias("dst"))
-        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n_transitions"))
-    )
+    trans = evops.transition_edges(ev)
     from quiver_spark.graph import Graph
 
     g = Graph.from_edges(trans)  # degree sanity: every src/dst becomes a vertex

@@ -170,3 +170,30 @@ def test_scan_prunes_columns(spark):
     plan = _plan(q)
     assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan or "LessThan" in plan, plan
+
+
+def test_events_transitions_no_global_sort_on_event_stream(spark):
+    """The sessionized transition graph (quiver_spark.events) may use a
+    single-partition window ONLY over the per-bucket boundary summary
+    (≤ n_buckets rows); the event stream itself must lag inside
+    hash-partitioned bucket windows. Assert: the intra-pair branch's
+    plan has zero SinglePartition exchanges, and the full union has at
+    most one (the bounded boundary stitch)."""
+    from quiver_spark import events as evops
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pairs = evops.sequential_pairs(ev, n_buckets=16)
+    pairs.count()
+    plan = _plan(pairs)
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "hashpartitioning(_bucket" in plan, plan
+    # and the lag over the raw events is partitioned, not global:
+    # every Window node that reads the event scan sits under the
+    # bucket hash exchange (no Sort over the full stream in a single
+    # partition). The one SinglePartition exchange must consume an
+    # aggregate (the ≤ n_buckets summary), not the scan.
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        below = plan[m.start():m.start() + 600]
+        assert "Aggregate" in below, plan  # Sort- or Hash-: the bucket summary
