@@ -682,6 +682,29 @@ def q_emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the cell-cogrouped distributed knn join
+    (simsearch.ivf_knn_join — both sides stay distributed, the scale
+    path beyond knn_join's broadcast guard) vs the exact broadcast
+    join, over 32 query vectors. Rows-only: the IVF assignment has no
+    DuckDB twin."""
+    from quiver_spark import simsearch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id") % 13 == 0)
+        .limit(32)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    exact = simsearch.knn_join(emb, queries, k=5)
+    cent = simsearch.ivf_centroids(emb, k=32)
+    assigned = simsearch.ivf_assign(emb, cent)
+    approx = simsearch.ivf_knn_join(assigned, queries, cent, k=5, nprobe=8)
+    hits = exact.select("qid", "vec_id").intersect(approx.select("qid", "vec_id")).count()
+    total = exact.count()
+    return spark.createDataFrame([(hits, total)], "hits long, k_total long")
+
+
 # ----------------------------------------------------- repo-graph queries
 # (no DuckDB view of the synthetic repo table → rows-only checks)
 def _repo_n_files(sf_dir: str) -> int:
@@ -1300,6 +1323,8 @@ QUERIES = {
     # rows-only (no DuckDB view of the synthetic repo table)
     "repo_pagerank_top": q_repo_pagerank_top,
     "repo_components": q_repo_components,
+    # rows-only: distributed knn-join recall vs the exact broadcast join
+    "emb_knn_join_recall": q_emb_knn_join_recall,
 }
 
 # The driver records CORRECTNESS rows for exactly these 50 names, in

@@ -143,19 +143,21 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
+    max_broadcast_queries: int = 1_000_000,
 ) -> DataFrame:
     """Exact k-NN of every query vector against the corpus: one
     blocked matmul per (corpus-partition × broadcast query matrix)
     Arrow kernel, then a global per-query top-k. The query side must
     be broadcast-sized (it is collected to numpy — guarded below); the
     corpus side streams partition-local. For query sets beyond the
-    guard, bucket both sides (lsh_bucket / ivf_assign) and join per
-    bucket instead."""
+    guard, use :func:`ivf_knn_join` — both sides stay distributed,
+    cogrouped per IVF cell."""
     n_q = queries.count()
-    if n_q > 1_000_000:
+    if n_q > max_broadcast_queries:
         raise ValueError(
-            f"knn_join collects the query side to the driver ({n_q} rows > 1M); "
-            "bucket both sides (lsh_bucket/ivf_assign) for query sets this large"
+            f"knn_join collects the query side to the driver ({n_q} rows > "
+            f"{max_broadcast_queries}); use ivf_knn_join (cell-cogrouped, both "
+            "sides distributed) for query sets this large"
         )
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     qids = qpdf[query_id_col].to_numpy(np.int64)
@@ -193,6 +195,116 @@ def knn_join(
             )
 
     partial = emb.select(id_col, vec_col).mapInPandas(gen, f"{query_id_col} long, {id_col} long, cos double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return partial.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def ivf_knn_join(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    chunk: int = 8192,
+) -> DataFrame:
+    """Approximate k-NN join with BOTH sides distributed — the scale
+    path :func:`knn_join`'s broadcast guard points at.
+
+    Shape: queries fan out to their ``nprobe`` nearest-centroid cells
+    (one Arrow matmul per batch — the only state shipped anywhere is
+    the kilobyte centroid table), the cell-assigned corpus
+    (:func:`ivf_assign` output — at 100 TB a ``partitionBy(cell)``
+    parquet/Iceberg table, so the cogroup below reads pruned
+    partitions) cogroups with the probe stream per cell, and the
+    per-cell kernel runs a corpus-chunked matmul emitting at most
+    ``k`` candidates per (query, chunk). A per-query window finishes
+    globally. No driver collect, no all-pairs join; per-kernel memory
+    is ``chunk × |cell queries|`` floats regardless of cell width.
+
+    Exactness boundary: a corpus vector outside every probed cell of a
+    query is never scored (recall < 1 by design). With
+    ``nprobe >= len(centroids)`` every cell is probed and the result
+    equals the exact :func:`knn_join` bit-for-bit, ties included
+    (equality-tested) — corpus rows are id-sorted before each chunk so
+    the stable argsort breaks cosine ties by ascending id, the same
+    (cos desc, id asc) order the finishing window uses.
+    """
+    sc = assigned.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+    npb = min(nprobe, len(centroids))
+
+    def probes_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qmat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(qmat, axis=1)
+            qn[qn == 0] = 1.0
+            sims = (qmat / qn[:, None]) @ cent.T
+            cells = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(pdf[query_id_col].to_numpy(np.int64), npb),
+                    vec_col: np.repeat(pdf[vec_col].to_numpy(), npb),
+                    "cell": cells.ravel().astype(np.int32),
+                }
+            )
+
+    probes = queries.select(query_id_col, vec_col).mapInPandas(
+        probes_gen, f"{query_id_col} long, {vec_col} array<float>, cell int"
+    )
+
+    def cell_kernel(cor: pd.DataFrame, qry: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                query_id_col: pd.Series(dtype="int64"),
+                id_col: pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        if cor.empty or qry.empty:
+            return empty
+        cids = cor[id_col].to_numpy(np.int64)
+        byid = np.argsort(cids, kind="stable")
+        cids = cids[byid]
+        cmat = np.vstack(cor[vec_col].to_numpy()[byid]).astype(np.float64)
+        cn = np.linalg.norm(cmat, axis=1)
+        cn[cn == 0] = 1.0
+        cmat = cmat / cn[:, None]
+        qids = qry[query_id_col].to_numpy(np.int64)
+        qmat = np.vstack(qry[vec_col].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(qmat, axis=1)
+        qn[qn == 0] = 1.0
+        qmat = qmat / qn[:, None]
+        out_q, out_c, out_s = [], [], []
+        for lo in range(0, len(cids), chunk):
+            c_ids = cids[lo : lo + chunk]
+            sims = cmat[lo : lo + chunk] @ qmat.T  # (chunk, n_q)
+            kk = min(k, len(c_ids))
+            top = np.argsort(-sims, axis=0, kind="stable")[:kk]
+            out_q.append(np.repeat(qids, kk))
+            out_c.append(c_ids[top.T.ravel()])
+            out_s.append(np.take_along_axis(sims, top, axis=0).T.ravel())
+        return pd.DataFrame(
+            {
+                query_id_col: np.concatenate(out_q),
+                id_col: np.concatenate(out_c),
+                "cos": np.concatenate(out_s),
+            }
+        )
+
+    partial = (
+        assigned.select(id_col, vec_col, "cell")
+        .groupBy("cell")
+        .cogroup(probes.groupBy("cell"))
+        .applyInPandas(cell_kernel, f"{query_id_col} long, {id_col} long, cos double")
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))

@@ -269,3 +269,60 @@ def test_ivf_topk_finds_planted_near_dup(spark, emb):
         for r in simsearch.ivf_topk(assigned, cent, [float(x) for x in vecs[0]], k=5, nprobe=4).collect()
     ]
     assert full == brute
+
+
+def test_ivf_knn_join_full_probe_equals_exact(spark, emb):
+    """nprobe = n_cells probes every cell, so the cell-cogrouped join
+    must equal the exact broadcast knn_join bit-for-bit, including
+    tie-breaks and the chunked-matmul path (chunk=7 < cell widths)."""
+    df, vecs = emb
+    cent = simsearch.ivf_centroids(df, k=4, sample_size=40)
+    assigned = simsearch.ivf_assign(df, cent)
+    queries = spark.createDataFrame(
+        [(100 + i, [float(x) for x in vecs[i]]) for i in range(10)],
+        "qid long, embedding array<float>",
+    )
+    exact = {
+        (r["qid"], r["vec_id"]): r["cos"]
+        for r in simsearch.knn_join(df, queries, k=3).collect()
+    }
+    got = {
+        (r["qid"], r["vec_id"]): r["cos"]
+        for r in simsearch.ivf_knn_join(assigned, queries, cent, k=3, nprobe=4, chunk=7).collect()
+    }
+    assert set(got) == set(exact)
+    for key in exact:
+        assert abs(got[key] - exact[key]) < 1e-12
+
+
+def test_ivf_knn_join_probes_limit_candidates(spark, emb):
+    """nprobe=1: every returned neighbor must come from one of the
+    query's probed cells, and the planted near-dup pair still finds
+    itself (vector 0 and 7 share a cell)."""
+    df, vecs = emb
+    cent = simsearch.ivf_centroids(df, k=4, sample_size=40)
+    assigned = simsearch.ivf_assign(df, cent)
+    cell_of = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[0]])], "qid long, embedding array<float>"
+    )
+    got = simsearch.ivf_knn_join(assigned, queries, cent, k=5, nprobe=1).collect()
+    assert {r["vec_id"] for r in got} <= {v for v, c in cell_of.items() if c == cell_of[0]}
+    ids = [r["vec_id"] for r in sorted(got, key=lambda r: (-r["cos"], r["vec_id"]))]
+    assert ids[0] == 0 and 7 in ids[:2]
+
+
+def test_knn_join_guard_points_at_ivf_knn_join(spark, emb):
+    """Beyond the broadcast guard the error must name the real
+    distributed alternative — and that alternative must work on the
+    same inputs."""
+    df, vecs = emb
+    queries = spark.createDataFrame(
+        [(100 + i, [float(x) for x in vecs[i]]) for i in range(10)],
+        "qid long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="ivf_knn_join"):
+        simsearch.knn_join(df, queries, k=3, max_broadcast_queries=5)
+    cent = simsearch.ivf_centroids(df, k=4, sample_size=40)
+    assigned = simsearch.ivf_assign(df, cent)
+    assert simsearch.ivf_knn_join(assigned, queries, cent, k=3, nprobe=2).count() == 30
