@@ -138,6 +138,14 @@ def pagerank(
         m = graph.edges.count()
         if m < 2_000_000:
             strategy = "smj"
+            if n_salts is None:
+                # default degree-proportional salting on the auto-smj
+                # tier: the sketch is one map-side-combined groupBy on
+                # the static edge frame, and with no key above the
+                # frequency floor it is empty — salted_sum then runs
+                # every key at modulus 1, so a uniform graph pays ~0
+                # while a power-law dst fans across reducer cells
+                n_salts = "auto"
         elif n <= 50_000_000:
             strategy = "bhj"
         else:
@@ -176,7 +184,13 @@ def pagerank(
             # degree sketch of the static edge frame, once — salt count
             # per hot dst ∝ its in-degree (SURVEY.md §4.3)
             hot_dst = keep(skew.degree_sketch(edges_w, "dst", min_freq=salt_rows_per_salt))
-            hot_dst.count()
+            if hot_dst.count() == 0:
+                # no key above the floor: salted_sum would still pay a
+                # per-superstep broadcast lookup + two-phase aggregate
+                # (measured ~+20% on the uniform 200k-edge repo graph)
+                # for nothing — drop to the plain aggregate. The sketch
+                # is static, so this is a one-time decision.
+                n_salts = None
     elif strategy == "bhj":
         edges_w = keep(
             edges_w.withColumn("block", _block("dst", n_blocks))

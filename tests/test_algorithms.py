@@ -375,3 +375,24 @@ def test_lp_fixpoint_no_extra_join_job_per_round(spark):
     smj_marg = marginal("smj")
     assert marginal("bhj") <= smj_marg
     assert marginal("csr") <= smj_marg
+
+
+def test_pagerank_auto_smj_salts_by_default(spark):
+    """The auto tier's smj branch must default to degree-proportional
+    salting (n_salts='auto') and still match an explicitly-unsalted
+    run exactly — on a hub graph whose sketch floor is guaranteed hit
+    when rows_per_salt is tiny, and on a uniform graph where the
+    sketch is empty and salting is a no-op."""
+    from quiver_spark.graph import Graph
+
+    # hub: every vertex points at 0 (in-degree 49) plus a chain
+    edges = [(i, 0, "x") for i in range(1, 50)] + [(i, i + 1, "x") for i in range(1, 49)]
+    e = spark.createDataFrame(edges, "src long, dst long, etype string")
+    g = Graph.from_edges(e)
+    auto = pagerank(g, num_iters=8, strategy="auto", salt_rows_per_salt=4)
+    plain = pagerank(g, num_iters=8, strategy="smj", n_salts=None)
+    a = {r["id"]: r["rank"] for r in auto.state.collect()}
+    b = {r["id"]: r["rank"] for r in plain.state.collect()}
+    assert set(a) == set(b)
+    for i in a:
+        assert abs(a[i] - b[i]) < 1e-12
