@@ -175,3 +175,128 @@ def test_subgraph_induced(spark, graphs):
         assert all(
             r["src"] in hs and r["dst"] in hs for r in sub.edges.collect()
         ), f"seed {s}: non-induced edge"
+
+
+# ------------------------------------------------- traversal laws (r3)
+def _hop_oracle(edges: list[tuple[int, int]], seeds: set[int]) -> dict[int, int]:
+    """Plain-python BFS hop distances from the seed set (graphs are
+    tiny by design; this is the in-kernel oracle the distributed bfs
+    is checked against)."""
+    from collections import deque
+
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    dist = {s: 0 for s in seeds}
+    q = deque(sorted(seeds))
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def _graph_edges(g: Graph) -> list[tuple[int, int]]:
+    return [(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()]
+
+
+def test_bfs_levels_are_hop_minimal(spark, graphs):
+    """[pub: GraphSpec.scala 'bfs visits in level order']: bfs level(v)
+    equals the exact hop distance from the seed set, for every
+    reachable v, and nothing unreachable appears."""
+    from quiver_spark import traverse
+
+    for s, g in graphs.items():
+        ids = [r["id"] for r in g.vertices.select("id").orderBy("id").collect()]
+        if not ids:
+            continue
+        rng = np.random.default_rng(31 * s + 5)
+        seeds = {int(x) for x in rng.choice(ids, size=min(2, len(ids)), replace=False)}
+        got = {r["id"]: r["level"] for r in traverse.bfs(g, sorted(seeds)).collect()}
+        want = _hop_oracle(_graph_edges(g), seeds)
+        assert got == want, f"seed {s}: bfs levels != hop oracle"
+
+
+def test_bfs_parent_pointers_form_valid_forest(spark, graphs):
+    """[pub: Graph.scala#bft]: every non-seed row's parent is reached
+    one level earlier via a real edge, shares the row's root, and
+    chasing parents terminates at a seed (= the row's root, level 0,
+    parent NULL)."""
+    from quiver_spark import traverse
+
+    for s, g in graphs.items():
+        ids = [r["id"] for r in g.vertices.select("id").orderBy("id").collect()]
+        if not ids:
+            continue
+        rng = np.random.default_rng(77 * s + 1)
+        seeds = {int(x) for x in rng.choice(ids, size=min(3, len(ids)), replace=False)}
+        rows = {r["id"]: r for r in traverse.bfs(g, sorted(seeds)).collect()}
+        eset = set(_graph_edges(g))
+        for v, r in rows.items():
+            if v in seeds and r["level"] == 0:
+                assert r["parent"] is None and r["root"] == v
+                continue
+            p = r["parent"]
+            assert p in rows, f"seed {s}: parent {p} of {v} not visited"
+            assert rows[p]["level"] == r["level"] - 1
+            assert (p, v) in eset, f"seed {s}: parent edge {p}->{v} missing"
+            assert rows[p]["root"] == r["root"]
+            # chase to a root: bounded by level
+            cur, hops = v, 0
+            while rows[cur]["parent"] is not None:
+                cur = rows[cur]["parent"]
+                hops += 1
+                assert hops <= r["level"]
+            assert cur == r["root"] and cur in seeds
+
+
+def test_dff_partitions_reachable_set(spark, graphs):
+    """[pub: Graph.scala#dff 'forest partitions the graph']: with a
+    random seed subset, dff assigns every reachable vertex to exactly
+    one tree whose root is a seed; trees are vertex-disjoint by
+    construction (one row per id) and cover exactly the reachable
+    set."""
+    from quiver_spark import traverse
+
+    for s, g in graphs.items():
+        ids = [r["id"] for r in g.vertices.select("id").orderBy("id").collect()]
+        if not ids:
+            continue
+        rng = np.random.default_rng(13 * s + 3)
+        seeds = {int(x) for x in rng.choice(ids, size=min(3, len(ids)), replace=False)}
+        forest = traverse.dff(g, sorted(seeds)).collect()
+        by_id = {}
+        for r in forest:
+            assert r["id"] not in by_id, f"seed {s}: vertex in two trees"
+            by_id[r["id"]] = r
+        assert set(by_id) == set(_hop_oracle(_graph_edges(g), seeds)), (
+            f"seed {s}: forest does not cover exactly the reachable set"
+        )
+        for r in forest:
+            assert r["root"] in seeds
+
+
+def test_esp_is_shortest_and_valid(spark, graphs):
+    """[pub: Graph.scala#esp]: the returned path starts at s, ends at
+    t, every consecutive pair is an edge, its hop length equals the
+    oracle distance; [] exactly when t is unreachable from s."""
+    from quiver_spark import traverse
+
+    for s, g in graphs.items():
+        ids = [r["id"] for r in g.vertices.select("id").orderBy("id").collect()]
+        if len(ids) < 2:
+            continue
+        rng = np.random.default_rng(97 * s + 7)
+        a, b = (int(x) for x in rng.choice(ids, size=2, replace=False))
+        dist = _hop_oracle(_graph_edges(g), {a})
+        path = traverse.esp(g, a, b)
+        if b not in dist:
+            assert path == [], f"seed {s}: path to unreachable {b}"
+            continue
+        assert path[0] == a and path[-1] == b
+        assert len(path) - 1 == dist[b], f"seed {s}: not hop-minimal"
+        eset = set(_graph_edges(g))
+        for u, v in zip(path, path[1:]):
+            assert (u, v) in eset, f"seed {s}: non-edge {u}->{v} in path"
