@@ -85,7 +85,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iters", type=int, default=100)
     ap.add_argument("--num-iters", type=int, default=None, help="fixed superstep count (oracle mode)")
-    ap.add_argument("--strategy", default="auto", help="pagerank physical strategy (auto/smj/bhj/csr/csr_bcast)")
+    ap.add_argument("--strategy", default="auto", help="physical strategy for pagerank/components/labelprop (auto/smj/bhj/csr/...)")
     ap.add_argument("--checkpoint-every", type=int, default=5)
     ap.add_argument("--label-col", default="lang")
     ap.add_argument("--lp-iters", type=int, default=10)
@@ -176,15 +176,20 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "components":
         from quiver_spark.algorithms import connected_components
 
-        res = connected_components(g, max_iters=args.max_iters, runner=runner)
+        res = connected_components(
+            g, max_iters=args.max_iters, strategy=args.strategy, runner=runner
+        )
         io.write(res.state, args.output)
         out = {"job": "components", "supersteps": res.supersteps, "resumed_from": res.resumed_from}
     elif args.cmd == "labelprop":
         from quiver_spark.algorithms import label_propagation
 
-        res = label_propagation(g, label_col=args.label_col, num_iters=args.lp_iters, runner=runner)
+        res = label_propagation(
+            g, label_col=args.label_col, num_iters=args.lp_iters,
+            strategy=args.strategy, runner=runner,
+        )
         io.write(res.state, args.output)
-        out = {"job": "labelprop", "supersteps": res.supersteps}
+        out = {"job": "labelprop", "supersteps": res.supersteps, "resumed_from": res.resumed_from}
     elif args.cmd == "triangles":
         from quiver_spark.algorithms import triangle_count
 

@@ -28,34 +28,37 @@ from quiver_spark.graph import Graph
 from quiver_spark.superstep import SuperstepRunner, SuperstepResult
 
 
-def _cc_csr_kernel(e_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-block HashMin: out[dst] = min over in-edges of comp[src],
-    with the self-loop row carrying dst's OLD component out-of-band so
-    change detection needs no extra join. Mirrors csr._spmv_kernel
-    (dst-sorted persisted layout → sort-free reduceat)."""
-    if e_pdf.empty or s_pdf.empty:
-        return pd.DataFrame(
-            {"dst": pd.Series(dtype="int64"), "pmin": pd.Series(dtype="int64"),
-             "pold": pd.Series(dtype="int64")}
-        )
-    src = e_pdf["src"].to_numpy(np.int64)
-    dst = e_pdf["dst"].to_numpy(np.int64)
-    if not np.all(dst[1:] >= dst[:-1]):  # fallback: unsorted input
-        order = np.argsort(dst, kind="stable")
-        src, dst = src[order], dst[order]
+def _cc_csr_kernel(p_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-block HashMin over a packed CSR block (csr_blocks layout):
+    out[dst] = min over in-edges of comp[src], via a gather through
+    the pre-resolved ``src_pos`` index and one ``minimum.reduceat`` —
+    no per-round sort, no per-row Arrow. Because ``vids`` partitions
+    the vertex set, the kernel also emits one row per block vertex
+    carrying its OWN component (pmin: makes the downstream min total,
+    the vertex always hears itself; pold: the old component for
+    fallback + in-frame change detection — no extra join anywhere)."""
+    from quiver_spark import csr_blocks
+
+    empty = pd.DataFrame(
+        {"dst": pd.Series(dtype="int64"), "pmin": pd.Series(dtype="int64"),
+         "pold": pd.Series(dtype="int64")}
+    )
+    if p_pdf.empty or s_pdf.empty:
+        return empty
     sid = s_pdf["id"].to_numpy(np.int64)
     scomp = s_pdf["component"].to_numpy(np.int64)
-    so = np.argsort(sid, kind="stable")
-    sid_s, scomp_s = sid[so], scomp[so]
-    pos = np.clip(np.searchsorted(sid_s, src), 0, len(sid_s) - 1)
-    comp = np.where(sid_s[pos] == src, scomp_s[pos], np.iinfo(np.int64).max)
-    starts = np.flatnonzero(np.concatenate(([True], dst[1:] != dst[:-1])))
-    udst = dst[starts]
-    pmin = np.minimum.reduceat(comp, starts)
-    # the self-loop (src == dst) carries dst's own/old component
-    self_comp = np.where(src == dst, comp, np.iinfo(np.int64).min)
-    pold = np.maximum.reduceat(self_comp, starts)
-    return pd.DataFrame({"dst": udst, "pmin": pmin, "pold": pold})
+    out = []
+    for _, row in p_pdf.iterrows():
+        vids, src_pos, dst_starts, udst = csr_blocks.unpack(row)
+        comp = csr_blocks.align_state(vids, sid, scomp, np.iinfo(np.int64).max)
+        out.append(pd.DataFrame({"dst": vids, "pmin": comp, "pold": comp}))
+        if len(src_pos):
+            pmin = np.minimum.reduceat(comp[src_pos], dst_starts)
+            out.append(pd.DataFrame({
+                "dst": udst, "pmin": pmin,
+                "pold": np.full(len(udst), np.iinfo(np.int64).min),
+            }))
+    return pd.concat(out, ignore_index=True) if out else empty
 
 
 def _undirected_pairs(graph: Graph) -> DataFrame:
@@ -128,18 +131,18 @@ def connected_components(
             .persist()
         )
     elif strategy == "csr":
-        # self-loops included: every vertex receives its own component,
-        # and the kernel reads the old component off the (src == dst)
-        # row — the beyond-broadcast path, blocked like csr.blocked_edges
-        und = (
-            _undirected_pairs(graph)
-            .unionByName(graph.vertices.select(F.col("id").alias("u"), F.col("id").alias("v")))
-            .dropDuplicates()
-            .select(F.col("u").alias("src"), F.col("v").alias("dst"))
-            .withColumn("block", F.pmod(F.xxhash64("src"), F.lit(n_blocks)).cast("int"))
-            .repartition(n_blocks, "block")
-            .sortWithinPartitions("block", "dst")
-            .persist()
+        # beyond-broadcast tier: the pair table resolved ONCE into
+        # packed per-block CSR buffers (csr_blocks module docstring:
+        # the row-oriented cogroup spent its superstep on Arrow row
+        # assembly and capped scaling at 0.627). No self-loop
+        # injection — the kernel emits every block vertex's own/old
+        # component from the packed vid list instead.
+        from quiver_spark import csr_blocks
+
+        und = csr_blocks.build_packed_blocks(
+            _undirected_pairs(graph).select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            graph.vertices.select("id"),
+            n_blocks,
         )
     else:
         und = _undirected_pairs(graph).persist()

@@ -26,74 +26,60 @@ from quiver_spark.graph import Graph
 from quiver_spark.superstep import SuperstepRunner, SuperstepResult
 
 
-def _lp_csr_kernel(e_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-block label histogram: (dst, label, pcnt, is_old) partials.
+def _lp_csr_kernel(p_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-block label histogram over a packed CSR block (csr_blocks
+    layout): (dst, label, pcnt, is_old) partials.
 
-    Sort-free on the persisted (block, dst)-sorted layout: dst runs +
-    per-block label codes give a compact ``run_index * K + code`` key
-    for one bincount — no per-round numpy sort of the edge arrays.
-
-    Rows with ``inj=True`` are the injected self-loops (one per
-    vertex, blocked with the vertex's own state): they are EXCLUDED
-    from the histogram (a vertex's own label must not vote — real
-    self-loop edges still do) and instead emit the vertex's OLD label
-    as an ``is_old`` row, so the round's fallback + change detection
-    need no extra vertex-sized join (the ``pold`` pattern from
+    Sort-free: the pre-resolved dst runs + per-block label codes give
+    a compact ``run_index * K + code`` key for one bincount. Because
+    ``vids`` partitions the vertex set, the kernel emits exactly one
+    ``is_old`` row per block vertex carrying its OLD label — the
+    keep-current fallback + in-frame change detection, with no
+    injected self-loop rows and no extra vertex-sized join (the
+    ``pold`` pattern from
     :func:`~quiver_spark.algorithms.components._cc_csr_kernel`).
+    Real self-loop edges stay in the packed arrays and still vote.
     """
+    from quiver_spark import csr_blocks
+
     empty = pd.DataFrame(
         {"dst": pd.Series(dtype="int64"), "label": pd.Series(dtype="object"),
          "pcnt": pd.Series(dtype="int64"), "is_old": pd.Series(dtype=bool)}
     )
-    if e_pdf.empty or s_pdf.empty:
+    if p_pdf.empty or s_pdf.empty:
         return empty
-    src = e_pdf["src"].to_numpy(np.int64)
-    dst = e_pdf["dst"].to_numpy(np.int64)
-    inj = e_pdf["inj"].to_numpy(bool)
-    if not np.all(dst[1:] >= dst[:-1]):  # fallback: unsorted input
-        order = np.argsort(dst, kind="stable")
-        src, dst, inj = src[order], dst[order], inj[order]
     codes, uniques = pd.factorize(s_pdf["label"], sort=True)
     sid = s_pdf["id"].to_numpy(np.int64)
-    so = np.argsort(sid, kind="stable")
-    sid_s, codes_s = sid[so], codes[so]
-
-    def lookup(ids: np.ndarray) -> np.ndarray:
-        pos = np.clip(np.searchsorted(sid_s, ids), 0, len(sid_s) - 1)
-        return np.where(sid_s[pos] == ids, codes_s[pos], -1)
-
     out = []
-    # injected self-loops → old-label rows (src == dst == the vertex,
-    # which lives in this block by construction: block = hash(src))
-    if inj.any():
-        oid = dst[inj]
-        ocode = lookup(src[inj])
-        ok = ocode >= 0
+    for _, row in p_pdf.iterrows():
+        vids, src_pos, dst_starts, udst = csr_blocks.unpack(row)
+        vcode = csr_blocks.align_state(vids, sid, codes, -1)
+        ok = vcode >= 0
         out.append(pd.DataFrame({
-            "dst": oid[ok],
-            "label": uniques.take(ocode[ok]).astype(object),
+            "dst": vids[ok],
+            "label": uniques.take(vcode[ok]).astype(object),
             "pcnt": np.zeros(int(ok.sum()), dtype=np.int64),
             "is_old": np.ones(int(ok.sum()), dtype=bool),
         }))
-    src, dst = src[~inj], dst[~inj]  # masked subset stays dst-sorted
-    if len(dst):
-        code = lookup(src)
-        # dst runs → run index per edge; compact (run, code) key → bincount
-        starts = np.flatnonzero(np.concatenate(([True], dst[1:] != dst[:-1])))
-        run_len = np.diff(np.append(starts, len(dst)))
-        run_idx = np.repeat(np.arange(len(starts)), run_len)
-        K = len(uniques)
-        keep = code >= 0
-        if keep.any():
-            key = run_idx[keep] * K + code[keep]
-            cnt = np.bincount(key, minlength=len(starts) * K)
-            nz = np.flatnonzero(cnt)
-            out.append(pd.DataFrame({
-                "dst": dst[starts][nz // K],
-                "label": uniques.take(nz % K).astype(object),
-                "pcnt": cnt[nz],
-                "is_old": np.zeros(len(nz), dtype=bool),
-            }))
+        if len(src_pos):
+            code = vcode[src_pos]
+            run_len = np.diff(np.append(dst_starts, len(src_pos)))
+            run_idx = np.repeat(np.arange(len(dst_starts)), run_len)
+            K = len(uniques)
+            keep = code >= 0
+            if keep.any():
+                # dense run×K bincount would zero a (runs * K)-cell
+                # array per call — unbounded in K; the key stream is
+                # already near-sorted (dst runs), so np.unique's sort
+                # is cheap and the footprint is O(n_edges)
+                key = run_idx[keep] * np.int64(K) + code[keep]
+                uk, cnt = np.unique(key, return_counts=True)
+                out.append(pd.DataFrame({
+                    "dst": udst[uk // K],
+                    "label": uniques.take((uk % K).astype(np.int64)).astype(object),
+                    "pcnt": cnt,
+                    "is_old": np.zeros(len(uk), dtype=bool),
+                }))
     return pd.concat(out, ignore_index=True) if out else empty
 
 
@@ -170,18 +156,18 @@ def label_propagation(
             .persist()
         )
     elif strategy == "csr":
-        # beyond-broadcast: (block, dst)-sorted CSR blocks keyed by
-        # hash(src); state shuffles to the same blocking each round.
-        # Injected self-loops land in block hash(v) — the same block
-        # that holds v's state row, so the kernel can read its label.
-        msgs_edges = (
-            msgs_edges.withColumn("inj", F.lit(False))
-            .unionByName(self_loops)
-            .select(F.col("u").alias("src"), F.col("v").alias("dst"), "inj")
-            .withColumn("block", F.pmod(F.xxhash64("src"), F.lit(nb)).cast("int"))
-            .repartition(nb, "block")
-            .sortWithinPartitions("block", "dst")
-            .persist()
+        # beyond-broadcast: message edges resolved ONCE into packed
+        # per-block CSR buffers keyed by hash(src) (csr_blocks module
+        # docstring — per-superstep Arrow row assembly was the scaling
+        # cap); state shuffles to the same blocking each round. No
+        # injected self-loops: the kernel emits each block vertex's
+        # old label off the packed vid list instead.
+        from quiver_spark import csr_blocks
+
+        msgs_edges = csr_blocks.build_packed_blocks(
+            msgs_edges.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            graph.vertices.select("id"),
+            nb,
         )
     else:
         msgs_edges = msgs_edges.persist()

@@ -73,6 +73,36 @@ def test_csr_cogroup_elides_edge_sort(spark, pl_graph):
         blocked.unpersist()
 
 
+def test_cc_packed_csr_cogroup_streams_cached_blocks(spark, pl_graph):
+    """The cc/lp beyond-broadcast tier cogroups the packed CSR frame
+    (one row per block, binary buffers) with the shuffled state. The
+    packed side must stream straight off its cache — no Exchange, no
+    Sort between the cached scan and the cogroup (the persisted frame
+    is hash-partitioned AND ordered by block). Only the vertex-sized
+    state side may shuffle per superstep."""
+    import re
+
+    from quiver_spark import csr_blocks
+    from quiver_spark.algorithms.components import _cc_csr_kernel
+
+    pairs = pl_graph.edges.select("src", "dst")
+    packed = csr_blocks.build_packed_blocks(pairs, pl_graph.vertices.select("id"), 8)
+    try:
+        state = pl_graph.vertices.select("id", F.col("id").alias("component"))
+        state_b = state.withColumn("block", csr_blocks.block_col("id", 8))
+        out = (
+            packed.groupBy("block")
+            .cogroup(state_b.groupBy("block"))
+            .applyInPandas(lambda e, s: _cc_csr_kernel(e, s), "dst long, pmin long, pold long")
+        )
+        plan = _plan(out)
+        assert re.search(
+            r"FlatMapCoGroupsInPandas[^\n]*\n\s*:- InMemoryTableScan", plan
+        ), f"packed side of cogroup is not the bare cached scan:\n{plan}"
+    finally:
+        packed.unpersist()
+
+
 def test_bhj_superstep_never_shuffles_edges(spark, pl_graph):
     """The bhj mirror superstep: the EDGE table never moves — the
     broadcast join streams the cached blocked edges, and the message

@@ -89,6 +89,118 @@ def test_submit_pagerank_job_and_resume(tmp_path):
     assert res2["supersteps"] == 5  # ran only 5..9
 
 
+def _submit_and_kill_after_first_checkpoint(tmp_path, *job_args: str) -> None:
+    """Launch the job, SIGKILL it as soon as the first durable
+    checkpoint marker lands in --run-dir (a real mid-run crash, not a
+    polite stop). If the job wins the race and finishes first, that is
+    fine — the caller's resume/equality assertions hold either way."""
+    import time
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    import package
+
+    zip_path = package.build(str(tmp_path / "quiver_spark.zip"))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["SPARK_GRAFT_CPUS"] = "4"
+    run_dir = [a for a in job_args if str(a).endswith("ckpt")][0]
+    proc = subprocess.Popen(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(ROOT, "jobs", "run.py"),
+            *job_args,
+        ],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    deadline = time.monotonic() + 300
+    while time.monotonic() < deadline and proc.poll() is None:
+        if os.path.isdir(run_dir) and any(f.startswith("_DONE_k=") for f in os.listdir(run_dir)):
+            proc.kill()
+            proc.wait()
+            break
+        time.sleep(0.25)
+    else:
+        if proc.poll() is None:  # no checkpoint within deadline: fail loudly
+            proc.kill()
+            proc.wait()
+            pytest.fail("no durable checkpoint appeared within 300s")
+    assert any(f.startswith("_DONE_k=") for f in os.listdir(run_dir))
+
+
+def _parquet_rows_equal(a: str, b: str) -> bool:
+    """Exact multiset equality of two parquet outputs (DuckDB)."""
+    import duckdb
+
+    n = duckdb.sql(
+        f"select count(*) from ((select * from '{a}/*.parquet' except all "
+        f"select * from '{b}/*.parquet') union all "
+        f"(select * from '{b}/*.parquet' except all select * from '{a}/*.parquet'))"
+    ).fetchone()[0]
+    return n == 0
+
+
+def test_submit_components_kill_resume_equals_uninterrupted(tmp_path):
+    """Crash a components run after its first durable checkpoint, then
+    re-submit with the same --run-dir: the resumed run must report
+    resumed_from >= 0 and produce EXACTLY the component assignment of
+    an uninterrupted run (BASELINE.json north rule: resumable from
+    checkpoint with per-partition lineage)."""
+    common = ["--synthesize", "--n-files", "300", "--checkpoint-every", "1"]
+    _submit_and_kill_after_first_checkpoint(
+        tmp_path, "components", *common,
+        "--output", str(tmp_path / "dead"),
+        "--run-dir", str(tmp_path / "cc_ckpt"),
+    )
+    res = _submit(
+        tmp_path, "components", *common,
+        "--output", str(tmp_path / "resumed"),
+        "--run-dir", str(tmp_path / "cc_ckpt"),
+    )
+    assert res["job"] == "components" and res["resumed_from"] >= 0
+    ref = _submit(
+        tmp_path, "components", *common,
+        "--output", str(tmp_path / "reference"),
+        "--run-dir", str(tmp_path / "cc_ckpt_ref"),
+    )
+    assert ref["resumed_from"] == -1
+    assert _parquet_rows_equal(str(tmp_path / "resumed"), str(tmp_path / "reference"))
+
+
+def test_submit_labelprop_kill_resume_equals_uninterrupted(tmp_path):
+    """Same crash/resume/equality contract for label propagation (its
+    fixed-round mode makes the superstep arithmetic explicit: a resume
+    from k runs exactly rounds k+1..n-1)."""
+    common = [
+        "--synthesize", "--n-files", "300", "--checkpoint-every", "1",
+        "--lp-iters", "6",
+    ]
+    _submit_and_kill_after_first_checkpoint(
+        tmp_path, "labelprop", *common,
+        "--output", str(tmp_path / "dead"),
+        "--run-dir", str(tmp_path / "lp_ckpt"),
+    )
+    res = _submit(
+        tmp_path, "labelprop", *common,
+        "--output", str(tmp_path / "resumed"),
+        "--run-dir", str(tmp_path / "lp_ckpt"),
+    )
+    assert res["job"] == "labelprop" and res["resumed_from"] >= 0
+    # superstep accounting: resumed run executes only the remainder
+    assert res["supersteps"] == 6 - (res["resumed_from"] + 1)
+    ref = _submit(
+        tmp_path, "labelprop", *common,
+        "--output", str(tmp_path / "reference"),
+        "--run-dir", str(tmp_path / "lp_ckpt_ref"),
+    )
+    assert ref["resumed_from"] == -1
+    assert _parquet_rows_equal(str(tmp_path / "resumed"), str(tmp_path / "reference"))
+
+
 def test_submit_ann_index_partitioned_by_cell(tmp_path):
     """ann-index writes the IVF-assigned table partitioned by cell —
     the partition layout that makes an ANN probe a pruned read."""
