@@ -126,6 +126,16 @@ def main() -> None:
 
     extra["knn_rows"] = timed("knn_join_64q", knn)
 
+    def ivf_knn():
+        # the distributed path (both sides stay distributed): index
+        # build + 512 queries fanned to their nprobe cells
+        cent = simsearch.ivf_centroids(emb, k=64)
+        assigned = simsearch.ivf_assign(emb, cent)
+        q = emb.limit(512).select(F.col("vec_id").alias("qid"), "embedding")
+        return simsearch.ivf_knn_join(assigned, q, cent, k=10, nprobe=8).count()
+
+    extra["ivf_knn_rows"] = timed("ivf_knn_join_512q", ivf_knn)
+
     total = round(sum(timings.values()), 3)
     line = {
         "metric": "graph_suite_wall_sec",

@@ -26,57 +26,60 @@ from quiver_spark.graph import Graph
 from quiver_spark.superstep import SuperstepRunner, SuperstepResult
 
 
-def _lp_csr_kernel(p_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+def _lp_csr_kernel(p_pdf: pd.DataFrame, s_pdf: pd.DataFrame, n_codes: int) -> pd.DataFrame:
     """Per-block label histogram over a packed CSR block (csr_blocks
-    layout): (dst, label, pcnt, is_old) partials.
+    layout): (dst, code, pcnt, is_old) partials — labels travel as
+    GLOBAL integer codes (lex-ordered dictionary built once at setup),
+    so the per-superstep message path is pure int64: no per-round
+    factorize, no string Arrow/shuffle volume, and the downstream
+    ``min(code)`` tie-break equals the lexicographic-min label.
 
-    Sort-free: the pre-resolved dst runs + per-block label codes give
-    a compact ``run_index * K + code`` key for one bincount. Because
-    ``vids`` partitions the vertex set, the kernel emits exactly one
-    ``is_old`` row per block vertex carrying its OLD label — the
-    keep-current fallback + in-frame change detection, with no
-    injected self-loop rows and no extra vertex-sized join (the
+    Sort-free: the pre-resolved dst runs + codes give a compact
+    ``run_index * K + code`` key; ``np.unique`` on that key (the dense
+    bincount would zero a runs×K-cell array — unbounded in label
+    cardinality; the key stream is near-sorted by dst runs, so the
+    sort is cheap and memory stays O(n_edges)). Because ``vids``
+    partitions the vertex set, the kernel emits exactly one ``is_old``
+    row per block vertex carrying its OLD code — keep-current fallback
+    + in-frame change detection, no injected self-loop rows (the
     ``pold`` pattern from
     :func:`~quiver_spark.algorithms.components._cc_csr_kernel`).
     Real self-loop edges stay in the packed arrays and still vote.
+    Null labels carry code -1: they never vote, but their vertices
+    keep their (null) label through the fallback.
     """
     from quiver_spark import csr_blocks
 
     empty = pd.DataFrame(
-        {"dst": pd.Series(dtype="int64"), "label": pd.Series(dtype="object"),
+        {"dst": pd.Series(dtype="int64"), "code": pd.Series(dtype="int64"),
          "pcnt": pd.Series(dtype="int64"), "is_old": pd.Series(dtype=bool)}
     )
     if p_pdf.empty or s_pdf.empty:
         return empty
-    codes, uniques = pd.factorize(s_pdf["label"], sort=True)
     sid = s_pdf["id"].to_numpy(np.int64)
+    scode = s_pdf["code"].to_numpy(np.int64)
     out = []
     for _, row in p_pdf.iterrows():
         vids, src_pos, dst_starts, udst = csr_blocks.unpack(row)
-        vcode = csr_blocks.align_state(vids, sid, codes, -1)
-        ok = vcode >= 0
+        vcode = csr_blocks.align_state(vids, sid, scode, -1)
         out.append(pd.DataFrame({
-            "dst": vids[ok],
-            "label": uniques.take(vcode[ok]).astype(object),
-            "pcnt": np.zeros(int(ok.sum()), dtype=np.int64),
-            "is_old": np.ones(int(ok.sum()), dtype=bool),
+            "dst": vids, "code": vcode,
+            "pcnt": np.zeros(len(vids), dtype=np.int64),
+            "is_old": np.ones(len(vids), dtype=bool),
         }))
         if len(src_pos):
             code = vcode[src_pos]
-            run_len = np.diff(np.append(dst_starts, len(src_pos)))
-            run_idx = np.repeat(np.arange(len(dst_starts)), run_len)
-            K = len(uniques)
+            run_idx = np.repeat(
+                np.arange(len(dst_starts)),
+                np.diff(np.append(dst_starts, len(src_pos))),
+            )
             keep = code >= 0
             if keep.any():
-                # dense run×K bincount would zero a (runs * K)-cell
-                # array per call — unbounded in K; the key stream is
-                # already near-sorted (dst runs), so np.unique's sort
-                # is cheap and the footprint is O(n_edges)
-                key = run_idx[keep] * np.int64(K) + code[keep]
-                uk, cnt = np.unique(key, return_counts=True)
+                K = np.int64(max(n_codes, 1))
+                uk, cnt = np.unique(run_idx[keep] * K + code[keep], return_counts=True)
                 out.append(pd.DataFrame({
                     "dst": udst[uk // K],
-                    "label": uniques.take((uk % K).astype(np.int64)).astype(object),
+                    "code": uk % K,
                     "pcnt": cnt,
                     "is_old": np.zeros(len(uk), dtype=bool),
                 }))
@@ -155,13 +158,17 @@ def label_propagation(
             .sortWithinPartitions("block", "v")
             .persist()
         )
-    elif strategy == "csr":
+    label_dict = None
+    n_codes = 0
+    if strategy == "csr":
         # beyond-broadcast: message edges resolved ONCE into packed
         # per-block CSR buffers keyed by hash(src) (csr_blocks module
         # docstring — per-superstep Arrow row assembly was the scaling
         # cap); state shuffles to the same blocking each round. No
         # injected self-loops: the kernel emits each block vertex's
         # old label off the packed vid list instead.
+        from pyspark.sql.window import Window
+
         from quiver_spark import csr_blocks
 
         msgs_edges = csr_blocks.build_packed_blocks(
@@ -169,16 +176,45 @@ def label_propagation(
             graph.vertices.select("id"),
             nb,
         )
+        # global label dictionary, lex-ordered so min(code) == min
+        # (label): LP only ever ADOPTS existing labels, so the seed
+        # dictionary covers every label any round can produce. The
+        # single-partition window is dictionary-sized (label
+        # cardinality, same bound as the broadcast below) — never
+        # edge- or vertex-sized. Codes are deterministic, so a resumed
+        # run rebuilds the identical dictionary from the static seed
+        # labels. Supersteps then run pure-int end to end; the result
+        # is decoded back to strings once, after the fixpoint.
+        label_dict = (
+            state0.select("label").where(F.col("label").isNotNull()).distinct()
+            .withColumn("code", F.row_number().over(Window.orderBy("label")) - F.lit(1))
+            .persist()
+        )
+        n_codes = label_dict.count()
+        persisted.append(label_dict)
+        state0 = state0.join(F.broadcast(label_dict), "label", "left").select(
+            "id", F.coalesce(F.col("code"), F.lit(-1)).alias("code")
+        )
     else:
         msgs_edges = msgs_edges.persist()
     msgs_edges.count()
     persisted.append(msgs_edges)
 
+    # argmax-with-lex-tie-break in ONE aggregate: min(struct(-cnt,
+    # label)) picks max count, then the lexicographically smallest
+    # label. Round 3 removed the previous maxc + hist⋈maxc join +
+    # re-aggregate dance — a (vertices × labels)-sized JOIN per round
+    # collapses into a second map-side-combinable aggregate. Null
+    # labels never vote in any tier (filtered before the histogram).
+    def _argmax(hist: DataFrame, keys: list[str], label_col_: str, out: str) -> DataFrame:
+        m = F.min(F.struct((-F.col("cnt")).alias("nc"), F.col(label_col_).alias("lb")))
+        return hist.groupBy(*keys).agg(m.alias("_m")).select(*keys, F.col("_m.lb").alias(out))
+
     def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
         if strategy == "bhj":
             joined = msgs_edges.join(F.broadcast(state.withColumnRenamed("id", "u")), "u")
             hist = (
-                joined.filter(~F.col("inj"))
+                joined.filter(~F.col("inj") & F.col("label").isNotNull())
                 .groupBy("block", "v", "label")
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )
@@ -189,65 +225,49 @@ def label_propagation(
             )
             # hashpartitioning(block) satisfies every clustering below —
             # the whole round is partition-complete after one broadcast
-            maxc = hist.groupBy("block", "v").agg(F.max("cnt").alias("maxc"))
-            best = (
-                hist.join(maxc, ["block", "v"])
-                .filter(F.col("cnt") == F.col("maxc"))
-                .groupBy("block", F.col("v").alias("id"))
-                .agg(F.min("label").alias("new_label"))
-            )
+            best = _argmax(hist, ["block", "v"], "label", "new_label").withColumnRenamed("v", "id")
             new_label = F.coalesce(F.col("new_label"), F.col("_old"))
             new_state = olds.join(best, ["block", "id"], "left").select(
                 "id", new_label.alias("label"), (new_label != F.col("_old")).alias("_changed")
             )
         elif strategy == "csr":
+            # pure-int round: codes through the kernel, the partial
+            # shuffle, and the argmax — min(code) IS the lex tie-break
+            # because the dictionary is lex-ordered
             state_b = state.withColumn("block", F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int"))
             partials = (
                 msgs_edges.groupBy("block")
                 .cogroup(state_b.groupBy("block"))
                 .applyInPandas(
-                    lambda e, s: _lp_csr_kernel(e, s),
-                    "dst long, label string, pcnt long, is_old boolean",
+                    lambda e, s: _lp_csr_kernel(e, s, n_codes),
+                    "dst long, code long, pcnt long, is_old boolean",
                 )
             )
             hist = (
                 partials.filter(~F.col("is_old"))
-                .groupBy(F.col("dst").alias("id"), "label")
+                .groupBy(F.col("dst").alias("id"), "code")
                 .agg(F.sum("pcnt").alias("cnt"))
             )
             # exactly one is_old row per vertex (from block hash(v))
             olds = partials.filter(F.col("is_old")).select(
-                F.col("dst").alias("id"), F.col("label").alias("_old")
+                F.col("dst").alias("id"), F.col("code").alias("_old")
             )
-            maxc = hist.groupBy("id").agg(F.max("cnt").alias("maxc"))
-            best = (
-                hist.join(maxc, "id")
-                .filter(F.col("cnt") == F.col("maxc"))
-                .groupBy("id")
-                .agg(F.min("label").alias("new_label"))
-            )
+            best = _argmax(hist, ["id"], "code", "new_code")
             # fallback + change detection off the kernel-emitted old
-            # label — the same vertex-sized SMJ the seed fallback cost,
+            # code — the same vertex-sized SMJ the seed fallback cost,
             # but no separate changed-count join per round anymore
-            new_label = F.coalesce(F.col("new_label"), F.col("_old"))
+            new_code = F.coalesce(F.col("new_code"), F.col("_old"))
             new_state = olds.join(best, "id", "left").select(
-                "id", new_label.alias("label"), (new_label != F.col("_old")).alias("_changed")
+                "id", new_code.alias("code"), (new_code != F.col("_old")).alias("_changed")
             )
         else:
             hist = (
                 msgs_edges.join(state.withColumnRenamed("id", "u"), "u")
+                .filter(F.col("label").isNotNull())
                 .groupBy(F.col("v").alias("id"), "label")
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            # argmax with min-label tie-break: keep rows at the per-id max
-            # count, then take the smallest label among them
-            maxc = hist.groupBy("id").agg(F.max("cnt").alias("maxc"))
-            best = (
-                hist.join(maxc, "id")
-                .filter(F.col("cnt") == F.col("maxc"))
-                .groupBy("id")
-                .agg(F.min("label").alias("new_label"))
-            )
+            best = _argmax(hist, ["id"], "label", "new_label")
             # old label is in-frame here, so change detection folds
             # into the same plan (no separate join job per round)
             new_state = state.join(best, "id", "left").select(
@@ -256,17 +276,24 @@ def label_propagation(
                 (F.coalesce(F.col("new_label"), F.col("label")) != F.col("label")).alias("_changed"),
             )
         if fixed:
-            return new_state.select("id", "label"), None
-        # every tier now carries _changed in-frame (smj: old label in
-        # the join; bhj/csr: injected self-loops), so the fixpoint
-        # check is one cached-scan aggregate — no per-round join job
+            return new_state.select("id", "code" if strategy == "csr" else "label"), None
+        # every tier carries _changed in-frame (smj: old label in the
+        # join; bhj: injected self-loops; csr: kernel is_old rows), so
+        # the fixpoint check is one cached-scan aggregate — no
+        # per-round join job
         new_state = new_state.localCheckpoint()
         new_state._qs_checkpointed = True  # noqa: SLF001 — runner contract
         changed = new_state.agg(F.sum(F.col("_changed").cast("int"))).collect()[0][0] or 0
         return new_state.drop("_changed"), float(changed)
 
     try:
-        return runner.run(state0, step, tol=None if fixed else 0.0, max_iters=total)
+        res = runner.run(state0, step, tol=None if fixed else 0.0, max_iters=total)
+        if strategy == "csr":
+            # decode once, after the fixpoint (code -1 → null label)
+            res.state = res.state.join(F.broadcast(label_dict), "code", "left").select(
+                "id", "label"
+            )
+        return res
     finally:
         for df in persisted:
             df.unpersist()

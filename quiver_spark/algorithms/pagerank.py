@@ -25,10 +25,12 @@ strategies share identical semantics (tests assert equality):
   also needs no exchange. **Zero exchanges per superstep**; the only
   data motion is the state broadcast (vertex mirroring, as GraphX's
   replicated vertex view).
-- ``csr``   — edges hash-blocked by src; state shuffled to the same
-  blocking; a cogrouped Arrow kernel does a partition-local CSR SpMV
-  and emits pre-combined ``(dst, partial)`` messages. The
-  beyond-broadcast-scale path: state never needs to fit in one place.
+- ``csr``   — edges hash-blocked by src into PACKED per-block CSR
+  buffers (csr_blocks: int32 src positions + float64 weights, built
+  once); state shuffled to the same blocking; a cogrouped Arrow
+  kernel does a partition-local SpMV and emits pre-combined ``(dst,
+  partial)`` messages. The beyond-broadcast-scale path: state never
+  needs to fit in one place.
 - ``csr_bcast`` — edges hash-blocked by dst as CSR blocks; the state
   is mirrored to every kernel as a **numpy broadcast** (sorted id +
   rank arrays); each superstep is one cogrouped Arrow kernel doing a
@@ -207,8 +209,9 @@ def pagerank(
     elif strategy == "csr":
         from quiver_spark import csr
 
-        blocked = keep(csr.blocked_edges(edges_w, n_blocks))
-        blocked.count()
+        # build_packed_blocks persists + materializes internally
+        blocked = csr.blocked_edges(edges_w, ids.select("id"), n_blocks)
+        persisted.append(blocked)
     elif strategy == "csr_packed":
         from quiver_spark import csr_packed
 

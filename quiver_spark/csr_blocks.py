@@ -1,7 +1,7 @@
-"""Packed per-block CSR for the beyond-broadcast (``csr``) tier of
-connected components and label propagation.
+"""Packed per-block CSR: the beyond-broadcast (``csr``) tier shared by
+PageRank, connected components, and label propagation.
 
-Round-2 measurement (NOTES_r3.md): the row-oriented cogroup CSR tier
+Round-3 measurement (NOTES_r3.md): the row-oriented cogroup CSR tier
 spent most of each superstep assembling 160M Arrow rows into pandas
 frames on the Python side — ~11 s at 4 cores and ~5 s at 16 for a
 no-op kernel — and that assembly path scaled at ~0.6, capping cc-csr
@@ -10,13 +10,15 @@ at 0.627 overall. Per-block row-count skew was measured at max/mean =
 prescription (BASELINE.json:6 "edges stored as partition-local CSR
 blocks"): resolve each block's CSR arrays ONCE into binary buffer
 columns, so the per-superstep JVM→Python transfer is a memcpy of
-~4 B/edge instead of a 20+ B/edge row assembly.
+~4 B/edge (plus 8 B/edge of weights where the algorithm has them)
+instead of a 20+ B/edge row assembly.
 
-Unlike :mod:`quiver_spark.csr_packed` (PageRank's mirror tier, which
-broadcasts the whole rank vector), the state here arrives through the
-cogroup's hash shuffle — one block's worth of (id, state) rows per
-kernel call — so the vertex state never has to fit in any single
-place. That is the property that makes this the big-state tier.
+Unlike :mod:`quiver_spark.csr_packed` (PageRank's *mirror* tier,
+which broadcasts the whole rank vector), the state here arrives
+through the cogroup's hash shuffle — one block's worth of (id, state)
+rows per kernel call — so the vertex state never has to fit in any
+single place. That is the property that makes this the big-state
+tier.
 
 Layout, one row per ``block = pmod(xxhash64(src), n_blocks)``:
 
@@ -29,6 +31,9 @@ Layout, one row per ``block = pmod(xxhash64(src), n_blocks)``:
     dst_starts binary  int32[n_u]   start offsets of each distinct-dst
                                     run in ``src_pos``
     udst       binary  int64[n_u]   the distinct dsts, sorted
+    evals      binary  float64[n_e] per-edge values aligned to the
+                                    dst-sorted order (empty when the
+                                    build has no ``value_col``)
 
 The per-superstep kernel aligns the shuffled state rows to ``vids``
 (same hash ⇒ same id set; an argsort of n_v rows), gathers through
@@ -53,7 +58,7 @@ from pyspark.sql import functions as F
 
 PACK_SCHEMA = (
     "block int, n_v long, n_e long, vids binary, src_pos binary, "
-    "dst_starts binary, udst binary"
+    "dst_starts binary, udst binary, evals binary"
 )
 
 _EMPTY_PACK = pd.DataFrame(
@@ -65,11 +70,12 @@ _EMPTY_PACK = pd.DataFrame(
         "src_pos": pd.Series(dtype=object),
         "dst_starts": pd.Series(dtype=object),
         "udst": pd.Series(dtype=object),
+        "evals": pd.Series(dtype=object),
     }
 )
 
 
-def _pack(e_pdf: pd.DataFrame, v_pdf: pd.DataFrame) -> pd.DataFrame:
+def _pack(e_pdf: pd.DataFrame, v_pdf: pd.DataFrame, value_col: str | None) -> pd.DataFrame:
     """One-time build kernel for a single block (see module layout)."""
     if v_pdf.empty:
         # srcs hash to the block ⇒ they are vertices ⇒ the vertex side
@@ -77,6 +83,7 @@ def _pack(e_pdf: pd.DataFrame, v_pdf: pd.DataFrame) -> pd.DataFrame:
         return _EMPTY_PACK
     blk = int(v_pdf["block"].iloc[0])
     vids = np.sort(v_pdf["id"].to_numpy(np.int64), kind="stable")
+    evals = np.empty(0, np.float64)
     if e_pdf.empty:
         src_pos = np.empty(0, np.int32)
         dst_starts = np.empty(0, np.int32)
@@ -97,6 +104,8 @@ def _pack(e_pdf: pd.DataFrame, v_pdf: pd.DataFrame) -> pd.DataFrame:
         starts = np.flatnonzero(np.concatenate(([True], dst_s[1:] != dst_s[:-1])))
         dst_starts = starts.astype(np.int32)
         udst = dst_s[starts]
+        if value_col is not None:
+            evals = e_pdf[value_col].to_numpy(np.float64)[order]
     return pd.DataFrame(
         {
             "block": [blk],
@@ -106,6 +115,7 @@ def _pack(e_pdf: pd.DataFrame, v_pdf: pd.DataFrame) -> pd.DataFrame:
             "src_pos": [src_pos.tobytes()],
             "dst_starts": [dst_starts.tobytes()],
             "udst": [udst.tobytes()],
+            "evals": [evals.tobytes()],
         }
     )
 
@@ -114,21 +124,28 @@ def block_col(col: str, n_blocks: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(col)), F.lit(n_blocks)).cast("int")
 
 
-def build_packed_blocks(pairs: DataFrame, vertices: DataFrame, n_blocks: int) -> DataFrame:
-    """Build + persist the packed frame. ``pairs`` = (src, dst) message
-    edges (already direction-expanded and deduped by the caller);
-    ``vertices`` = (id). One cogrouped pass; the result is persisted
-    hash-partitioned on ``block`` so per-superstep cogroups reuse the
-    layout without an exchange on the big side."""
-    e_b = pairs.select("src", "dst").withColumn("block", block_col("src", n_blocks))
+def build_packed_blocks(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    n_blocks: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Build + persist the packed frame. ``pairs`` = (src, dst
+    [, value_col]) message edges (already direction-expanded and
+    deduped by the caller); ``vertices`` = (id). One cogrouped pass;
+    the result is persisted hash-partitioned AND ordered on ``block``
+    so per-superstep cogroups reuse the layout without an exchange or
+    sort on the big side."""
+    cols = ["src", "dst"] + ([value_col] if value_col else [])
+    e_b = pairs.select(*cols).withColumn("block", block_col("src", n_blocks))
     v_b = vertices.select("id").withColumn("block", block_col("id", n_blocks))
     packed = (
         e_b.groupBy("block")
         .cogroup(v_b.groupBy("block"))
-        .applyInPandas(_pack, PACK_SCHEMA)
+        .applyInPandas(lambda e, v: _pack(e, v, value_col), PACK_SCHEMA)
         .repartition(n_blocks, "block")
         # ordered-by-block cache: the per-superstep cogroup's sort on
-        # the packed side is elided (same trick as csr.blocked_edges)
+        # the packed side is elided
         .sortWithinPartitions("block")
         .persist()
     )
@@ -144,6 +161,11 @@ def unpack(row: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarr
         np.frombuffer(row["dst_starts"], np.int32),
         np.frombuffer(row["udst"], np.int64),
     )
+
+
+def unpack_evals(row: pd.Series) -> np.ndarray:
+    """float64 per-edge values aligned to the dst-sorted edge order."""
+    return np.frombuffer(row["evals"], np.float64)
 
 
 def align_state(

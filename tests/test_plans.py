@@ -50,25 +50,26 @@ def _top_level(plan: str) -> str:
 
 
 def test_csr_cogroup_elides_edge_sort(spark, pl_graph):
-    """blocked_edges persists (block, dst)-sorted; the cogroup must not
-    re-sort the cached edge side each superstep. Exactly the state
-    side's (small) sort may remain."""
+    """blocked_edges persists packed blocks hash-partitioned + ordered
+    on block; the cogroup must not re-shuffle or re-sort the cached
+    packed side each superstep. Exactly the state side's (small)
+    exchange+sort may remain."""
     edges_w = pl_graph.edges.select("src", "dst", F.lit(1.0).alias("w"))
-    blocked = csr.blocked_edges(edges_w, 8)
+    blocked = csr.blocked_edges(edges_w, pl_graph.vertices.select("id"), 8)
     try:
-        blocked.count()
         state = pl_graph.vertices.select("id", F.lit(1.0).alias("rank"))
         out = csr.csr_contributions(blocked, state, 8)
         plan = _plan(out)
-        # the cogroup's EDGE child (the ":-" branch) must be the cached
-        # scan directly — no Sort, no Exchange between them (a cached
-        # relation's stored plan legitimately contains its build-time
-        # sort/shuffle, so match the subtree edge, not global counts)
+        # the cogroup's PACKED child (the ":-" branch) must be the
+        # cached scan directly — no Sort, no Exchange between them (a
+        # cached relation's stored plan legitimately contains its
+        # build-time sort/shuffle, so match the subtree edge, not
+        # global counts)
         import re
 
         assert re.search(
             r"FlatMapCoGroupsInPandas[^\n]*\n\s*:- InMemoryTableScan", plan
-        ), f"edge side of cogroup is not the bare cached scan:\n{plan}"
+        ), f"packed side of cogroup is not the bare cached scan:\n{plan}"
     finally:
         blocked.unpersist()
 

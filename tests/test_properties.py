@@ -300,3 +300,54 @@ def test_esp_is_shortest_and_valid(spark, graphs):
         eset = set(_graph_edges(g))
         for u, v in zip(path, path[1:]):
             assert (u, v) in eset, f"seed {s}: non-edge {u}->{v} in path"
+
+
+def test_cheapest_path_costs_match_dijkstra(spark, graphs):
+    """[pub: Graph.scala#cheapestPath]: distributed Bellman-Ford
+    distances equal an in-python Dijkstra oracle on the same weighted
+    multigraph (min over parallel edges), seeds cost 0, every non-seed
+    row's parent admits an edge achieving cost[v] = cost[p] + w, and
+    unreachable vertices are absent."""
+    import heapq
+
+    from quiver_spark import traverse
+
+    for s, g in graphs.items():
+        ids = [r["id"] for r in g.vertices.select("id").orderBy("id").collect()]
+        if not ids:
+            continue
+        # deterministic per-(src,dst,etype) weights; parallel edges of
+        # one pair get distinct costs, exercising the min-relaxation
+        wcol = 1.0 + (F.col("src") * 7 + F.col("dst") * 13 + F.length("etype")) % 5
+        wg = Graph(g.vertices, g.edges.withColumn("weight", wcol.cast("double")))
+        rows = wg.edges.select("src", "dst", "weight").collect()
+        adj: dict[int, dict[int, float]] = {}
+        for r in rows:
+            d = adj.setdefault(r["src"], {})
+            d[r["dst"]] = min(d.get(r["dst"], float("inf")), r["weight"])
+        rng = np.random.default_rng(53 * s + 11)
+        seeds = {int(x) for x in rng.choice(ids, size=min(2, len(ids)), replace=False)}
+        dist = {v: 0.0 for v in seeds}
+        heap = [(0.0, v) for v in sorted(seeds)]
+        while heap:
+            dv, v = heapq.heappop(heap)
+            if dv > dist.get(v, float("inf")):
+                continue
+            for u, w in adj.get(v, {}).items():
+                nd = dv + w
+                if nd < dist.get(u, float("inf")):
+                    dist[u] = nd
+                    heapq.heappush(heap, (nd, u))
+        got = {
+            r["id"]: (r["cost"], r["parent"])
+            for r in traverse.cheapest_path_costs(wg, sorted(seeds)).collect()
+        }
+        assert set(got) == set(dist), f"seed {s}: reachable set mismatch"
+        for v, (c, p) in got.items():
+            assert abs(c - dist[v]) < 1e-9, f"seed {s}: cost[{v}] {c} != {dist[v]}"
+            if v in seeds and c == 0.0:
+                continue
+            assert p in got, f"seed {s}: parent {p} of {v} not in result"
+            assert abs(got[p][0] + adj[p][v] - c) < 1e-9, (
+                f"seed {s}: parent edge {p}->{v} does not achieve the min cost"
+            )
