@@ -94,11 +94,13 @@ def connected_components(
     component, so no second state join is needed anywhere in the hot
     DAG (the lesson from PageRank's bhj: a second broadcast of the
     state made late-round walls grow ~2x/step). ``csr`` is the
-    beyond-broadcast tier — the pair table persisted as (block,
-    dst)-sorted CSR blocks keyed by hash(src), the state shuffled to
-    the same blocking, and a cogrouped Arrow kernel doing the per-dst
-    min (plus old-component extraction from the self-loop row) with
-    no numpy sort per round. ``auto`` tiers tiny → smj, mirror-sized
+    beyond-broadcast tier — the pair table resolved ONCE into packed
+    per-block CSR buffers keyed by hash(src) (csr_blocks), the state
+    shuffled to the same blocking, and a cogrouped Arrow kernel doing
+    the per-dst min through the pre-resolved index (~4 B/edge memcpy
+    per superstep; the kernel emits each block vertex's own/old
+    component off the packed vid list, so fallback + change detection
+    need no extra join). ``auto`` tiers tiny → smj, mirror-sized
     → bhj, beyond → csr.
     """
     if algorithm == "two_phase":
@@ -193,7 +195,12 @@ def connected_components(
         new_state = new_state.localCheckpoint()
         new_state._qs_checkpointed = True  # noqa: SLF001 — runner contract
         changed = new_state.agg(F.sum(F.col("_changed").cast("int"))).collect()[0][0] or 0
-        return new_state.drop("_changed"), float(changed)
+        out = new_state.drop("_changed")
+        # the projection inherits the checkpoint (tiny lineage over the
+        # materialized frame) — without the flag the runner would pay a
+        # SECOND localCheckpoint materialization per fixpoint round
+        out._qs_checkpointed = True  # noqa: SLF001
+        return out, float(changed)
 
     try:
         # delta = #vertices that changed component; fixpoint at 0
@@ -219,7 +226,9 @@ def _two_phase_cc(graph: Graph, max_iters: int, runner: SuperstepRunner | None) 
     state0 = pairs.groupBy(F.col("u").alias("id")).agg(F.least(F.min("v"), F.first("u")).alias("parent"))
 
     def _star(state: DataFrame, large: bool) -> DataFrame:
-        # edges (u,v) with current parents substituted, then hook
+        # edges (u,v) with current parents substituted, then hook; the
+        # input parent rides along as _old (in-frame change detection —
+        # no separate vertex-sized join per round)
         p = state.withColumnRenamed("id", "u").withColumnRenamed("parent", "pu")
         q = state.withColumnRenamed("id", "v").withColumnRenamed("parent", "pv")
         e = und.join(p, "u").join(q, "v")
@@ -231,7 +240,11 @@ def _two_phase_cc(graph: Graph, max_iters: int, runner: SuperstepRunner | None) 
         hooks = cand.groupBy("id").agg(F.min("cand").alias("hook"))
         return (
             state.join(hooks, "id", "left")
-            .select("id", F.least(F.col("parent"), F.coalesce(F.col("hook"), F.col("parent"))).alias("parent"))
+            .select(
+                "id",
+                F.least(F.col("parent"), F.coalesce(F.col("hook"), F.col("parent"))).alias("parent"),
+                F.col("parent").alias("_old"),
+            )
         )
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
@@ -240,15 +253,16 @@ def _two_phase_cc(graph: Graph, max_iters: int, runner: SuperstepRunner | None) 
         gp = s.select(F.col("id").alias("parent"), F.col("parent").alias("gparent"))
         s = (
             s.join(gp, "parent", "left")
-            .select("id", F.coalesce(F.col("gparent"), F.col("parent")).alias("parent"))
+            .select("id", F.coalesce(F.col("gparent"), F.col("parent")).alias("parent"), "_old")
         )
         s = s.localCheckpoint()
+        s._qs_checkpointed = True  # noqa: SLF001 — runner contract
         changed = (
-            s.join(state.select("id", F.col("parent").alias("_old")), "id")
-            .filter(F.col("parent") != F.col("_old"))
-            .count()
+            s.agg(F.sum((F.col("parent") != F.col("_old")).cast("int"))).collect()[0][0] or 0
         )
-        return s, float(changed)
+        out = s.drop("_old")
+        out._qs_checkpointed = True  # noqa: SLF001 — projection over the checkpoint
+        return out, float(changed)
 
     res = runner.run(state0, step, tol=0.0, max_iters=max_iters)
     res.state = res.state.withColumnRenamed("parent", "component")

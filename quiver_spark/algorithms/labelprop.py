@@ -138,8 +138,9 @@ def label_propagation(
     total = num_iters if fixed else max_iters
     persisted = []
 
-    # tagged self-loop injection (bhj/csr): one (v, v, inj=True) row
-    # per vertex rides the static blocked frame, carrying each
+    # tagged self-loop injection (bhj only — the csr kernel emits old
+    # labels off its packed vid list instead): one (v, v, inj=True)
+    # row per vertex rides the static blocked frame, carrying each
     # vertex's OLD label into the round — fallback for message-less
     # vertices AND in-frame change detection, with no per-round
     # vertex-sized state join. Real self-loop edges keep inj=False and
@@ -149,6 +150,8 @@ def label_propagation(
     )
 
     nb = n_blocks or max(spark.sparkContext.defaultParallelism, 8)
+    label_dict = None
+    n_codes = 0
     if strategy == "bhj":
         msgs_edges = (
             msgs_edges.withColumn("inj", F.lit(False))
@@ -158,9 +161,7 @@ def label_propagation(
             .sortWithinPartitions("block", "v")
             .persist()
         )
-    label_dict = None
-    n_codes = 0
-    if strategy == "csr":
+    elif strategy == "csr":
         # beyond-broadcast: message edges resolved ONCE into packed
         # per-block CSR buffers keyed by hash(src) (csr_blocks module
         # docstring — per-superstep Arrow row assembly was the scaling
@@ -284,7 +285,12 @@ def label_propagation(
         new_state = new_state.localCheckpoint()
         new_state._qs_checkpointed = True  # noqa: SLF001 — runner contract
         changed = new_state.agg(F.sum(F.col("_changed").cast("int"))).collect()[0][0] or 0
-        return new_state.drop("_changed"), float(changed)
+        out = new_state.drop("_changed")
+        # the projection inherits the checkpoint (tiny lineage over the
+        # materialized frame) — without the flag the runner would pay a
+        # SECOND localCheckpoint materialization per fixpoint round
+        out._qs_checkpointed = True  # noqa: SLF001
+        return out, float(changed)
 
     try:
         res = runner.run(state0, step, tol=None if fixed else 0.0, max_iters=total)

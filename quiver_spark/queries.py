@@ -551,6 +551,47 @@ def q_doc_exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-module composition oracle: exact-duplicate CHAIN edges →
+    ``Graph`` → ``connected_components`` → cluster-size histogram.
+
+    Each fingerprint group contributes only consecutive-id edges (a
+    chain, the sparsest connected shape), so the component structure
+    is recovered by the graph engine, not read off the groupBy — the
+    DuckDB twin computes the same histogram directly from the
+    fingerprint groups. Verifies dedup → graph → algorithms agree
+    end-to-end (the 100 TB dedup shape: cluster near-dup candidates
+    with CC, then pick canonical docs per component)."""
+    from pyspark.sql.window import Window
+
+    from quiver_spark import textops
+    from quiver_spark.graph import Graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = textops.fingerprint(docs)
+    # chain edges inside each fingerprint group (partitioned window —
+    # no global sort; fp-hash partitions)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    edges = (
+        fp.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("doc_id").alias("dst"), F.lit("dup").alias("etype"))
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("name", F.lit("doc"))
+    )
+    comp = connected_components(Graph(verts, edges)).state
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
+
+
 def q_doc_min_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quiver_spark import textops
 
@@ -1161,6 +1202,14 @@ SELECT CAST(COALESCE(count(*), 0) AS BIGINT) AS n_groups,
        CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_dup_docs
 FROM g
 """,
+    "doc_dup_clusters": r"""
+WITH g AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, count(*) AS n
+  FROM documents GROUP BY 1 HAVING count(*) > 1
+)
+SELECT CAST(n AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM g GROUP BY n
+""",
     "doc_min_shingle": r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
@@ -1325,6 +1374,8 @@ QUERIES = {
     "repo_components": q_repo_components,
     # rows-only: distributed knn-join recall vs the exact broadcast join
     "emb_knn_join_recall": q_emb_knn_join_recall,
+    # oracled cross-module composition: dedup chain edges → Graph → CC
+    "doc_dup_clusters": q_doc_dup_clusters,
 }
 
 # The driver records CORRECTNESS rows for exactly these 50 names, in

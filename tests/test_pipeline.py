@@ -326,3 +326,34 @@ def test_knn_join_guard_points_at_ivf_knn_join(spark, emb):
     cent = simsearch.ivf_centroids(df, k=4, sample_size=40)
     assigned = simsearch.ivf_assign(df, cent)
     assert simsearch.ivf_knn_join(assigned, queries, cent, k=3, nprobe=2).count() == 30
+
+
+def test_doc_dup_clusters_composition(spark, tmp_path):
+    """dedup chain edges → Graph → connected components recovers
+    exactly the fingerprint groups: planted groups of sizes 4, 3, 2
+    (plus whitespace/case variants that normalize equal, and unique
+    docs that must NOT appear) yield the histogram {4:1, 3:1, 2:1}."""
+    from quiver_spark.queries import q_doc_dup_clusters
+
+    rows = []
+    did = 0
+
+    def add(text, n):
+        nonlocal did
+        for i in range(n):
+            # variants that normalize to the same fingerprint
+            t = text if i % 2 == 0 else ("  " + text.upper() + " ")
+            rows.append((did, t))
+            did += 1
+
+    add("alpha beta gamma", 4)
+    add("delta epsilon", 3)
+    add("zeta eta theta", 2)
+    for u in range(5):  # unique docs: excluded from the dup graph
+        rows.append((did, f"unique text number {u}"))
+        did += 1
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r["cluster_size"]: r["n_clusters"] for r in q_doc_dup_clusters(spark, str(tmp_path)).collect()}
+    assert got == {4: 1, 3: 1, 2: 1}, got
