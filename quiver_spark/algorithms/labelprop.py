@@ -214,22 +214,37 @@ def label_propagation(
     def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
         if strategy == "bhj":
             joined = msgs_edges.join(F.broadcast(state.withColumnRenamed("id", "u")), "u")
-            hist = (
-                joined.filter(~F.col("inj") & F.col("label").isNotNull())
-                .groupBy("block", "v", "label")
-                .agg(F.count(F.lit(1)).alias("cnt"))
+            # ONE pass over the broadcast-join output (round-3 ADVICE:
+            # the hist branch + the olds filter each re-scanned
+            # ``joined``): level 1 merges the vote counts and the
+            # injected-self-loop old-label marker per (block, v, label);
+            # level 2 folds argmax + fallback + change detection into a
+            # single aggregate. hashpartitioning(block) satisfies both
+            # clusterings — the round stays partition-complete after
+            # one broadcast, and the old best⟕olds join is gone.
+            lvl1 = joined.groupBy("block", "v", "label").agg(
+                F.count(
+                    F.when(~F.col("inj") & F.col("label").isNotNull(), F.lit(1))
+                ).alias("cnt"),
+                F.max("inj").alias("has_inj"),
             )
-            # the injected self-loop row picked up v's OWN label from
-            # the same broadcast — the old label, in-frame, for free
-            olds = joined.filter(F.col("inj")).select(
-                "block", F.col("v").alias("id"), F.col("label").alias("_old")
+            lvl2 = lvl1.groupBy("block", "v").agg(
+                F.min(
+                    F.when(
+                        F.col("cnt") > 0,
+                        F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("lb")),
+                    )
+                ).alias("_m"),
+                F.max(F.when(F.col("has_inj"), F.col("label"))).alias("_old"),
             )
-            # hashpartitioning(block) satisfies every clustering below —
-            # the whole round is partition-complete after one broadcast
-            best = _argmax(hist, ["block", "v"], "label", "new_label").withColumnRenamed("v", "id")
-            new_label = F.coalesce(F.col("new_label"), F.col("_old"))
-            new_state = olds.join(best, ["block", "id"], "left").select(
-                "id", new_label.alias("label"), (new_label != F.col("_old")).alias("_changed")
+            new_label = F.coalesce(F.col("_m.lb"), F.col("_old"))
+            # eqNullSafe: a NULL-seeded vertex adopting its first label
+            # IS a change (plain != yields NULL and the changed-count
+            # sum would skip it — round-3 ADVICE null-safety finding)
+            new_state = lvl2.select(
+                F.col("v").alias("id"),
+                new_label.alias("label"),
+                (~new_label.eqNullSafe(F.col("_old"))).alias("_changed"),
             )
         elif strategy == "csr":
             # pure-int round: codes through the kernel, the partial
@@ -244,21 +259,29 @@ def label_propagation(
                     "dst long, code long, pcnt long, is_old boolean",
                 )
             )
-            hist = (
-                partials.filter(~F.col("is_old"))
-                .groupBy(F.col("dst").alias("id"), "code")
-                .agg(F.sum("pcnt").alias("cnt"))
+            # ONE pass over the kernel output (round-3 ADVICE: the hist
+            # branch and the is_old filter each re-ran the cogroup +
+            # Arrow kernel — twice the packed-layout cost per round):
+            # level 1 merges vote-count partials and the is_old marker
+            # per (id, code); level 2 is argmax + fallback + change
+            # detection in one aggregate, replacing the olds⟕best SMJ.
+            lvl1 = partials.groupBy(F.col("dst").alias("id"), "code").agg(
+                F.sum(F.when(~F.col("is_old"), F.col("pcnt"))).alias("cnt"),
+                F.max("is_old").alias("has_old"),
             )
-            # exactly one is_old row per vertex (from block hash(v))
-            olds = partials.filter(F.col("is_old")).select(
-                F.col("dst").alias("id"), F.col("code").alias("_old")
+            lvl2 = lvl1.groupBy("id").agg(
+                F.min(
+                    F.when(
+                        F.col("cnt") > 0,
+                        F.struct((-F.col("cnt")).alias("nc"), F.col("code").alias("lb")),
+                    )
+                ).alias("_m"),
+                F.max(F.when(F.col("has_old"), F.col("code"))).alias("_old"),
             )
-            best = _argmax(hist, ["id"], "code", "new_code")
-            # fallback + change detection off the kernel-emitted old
-            # code — the same vertex-sized SMJ the seed fallback cost,
-            # but no separate changed-count join per round anymore
-            new_code = F.coalesce(F.col("new_code"), F.col("_old"))
-            new_state = olds.join(best, "id", "left").select(
+            # codes are never null (-1 encodes a null label), so plain
+            # != is null-safe here by construction
+            new_code = F.coalesce(F.col("_m.lb"), F.col("_old"))
+            new_state = lvl2.select(
                 "id", new_code.alias("code"), (new_code != F.col("_old")).alias("_changed")
             )
         else:
@@ -270,11 +293,14 @@ def label_propagation(
             )
             best = _argmax(hist, ["id"], "label", "new_label")
             # old label is in-frame here, so change detection folds
-            # into the same plan (no separate join job per round)
+            # into the same plan (no separate join job per round).
+            # eqNullSafe: NULL seed → first adopted label must count as
+            # a change (ADVICE round-3 null-safety finding)
+            new_label = F.coalesce(F.col("new_label"), F.col("label"))
             new_state = state.join(best, "id", "left").select(
                 "id",
-                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
-                (F.coalesce(F.col("new_label"), F.col("label")) != F.col("label")).alias("_changed"),
+                new_label.alias("label"),
+                (~new_label.eqNullSafe(F.col("label"))).alias("_changed"),
             )
         if fixed:
             return new_state.select("id", "code" if strategy == "csr" else "label"), None

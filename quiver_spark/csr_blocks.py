@@ -98,7 +98,13 @@ def _pack(e_pdf: pd.DataFrame, v_pdf: pd.DataFrame, value_col: str | None) -> pd
             )
         order = np.argsort(dst, kind="stable")
         src_s, dst_s = src[order], dst[order]
-        src_pos = np.searchsorted(vids, src_s).astype(np.int32)
+        # clip before indexing: searchsorted returns len(vids) for a
+        # src greater than every block vertex (e.g. a dangling src
+        # missing from the vertex table) — the clip keeps the equality
+        # check below the thing that raises, not an IndexError
+        src_pos = np.minimum(
+            np.searchsorted(vids, src_s), len(vids) - 1
+        ).astype(np.int32)
         if not np.array_equal(vids[src_pos], src_s):  # hash-consistency
             raise ValueError(f"block {blk}: edge src outside the block's vertex set")
         starts = np.flatnonzero(np.concatenate(([True], dst_s[1:] != dst_s[:-1])))

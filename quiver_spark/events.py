@@ -9,9 +9,12 @@ spec compiles to ``Exchange SinglePartition`` + one-task sort — fine
 as an oracle shape, fatal at 100 TB. :func:`sequential_pairs` computes
 the same pair stream scalably:
 
-1. bucket every event into a contiguous time range (uniform width over
-   ``[min(ts), max(ts)]`` — one cheap agg; at 100 TB the event time
-   span is known and the agg can be replaced by constants),
+1. bucket every event into a contiguous time range (``ntile``-style:
+   approx-quantile cutpoints of ts from ONE cheap agg, so a
+   time-skewed stream — a flash-crowd hour in a year of data — still
+   splits into near-equal buckets instead of one hot uniform slice;
+   at 100 TB the cutpoints can come from a sampled sketch or be
+   pinned as constants),
 2. lag WITHIN each bucket (``Window.partitionBy(bucket)`` — a parallel
    per-partition sort, no single task),
 3. stitch bucket boundaries through a per-bucket first/last summary
@@ -27,9 +30,14 @@ stream is exactly the global-order pair stream (equality-tested
 against the global-window oracle, and hash-gated against the DuckDB
 twin through ``events_user_transitions``).
 
-Time skew: a hot bucket becomes one large in-partition sort. At scale
-pick ``n_buckets`` ≫ cores (buckets are cheap — the summary stays
-tiny) or bucket on a monotone event-id range instead of wall time.
+Correctness does not depend on WHERE the cutpoints fall — any
+monotone-in-ts bucketing yields the identical pair stream (the
+equality suite runs uniform-degenerate and planted-skew fixtures) —
+so the approx sketch's error bound only shifts load, never results.
+Ties: events sharing one exact ts land in one bucket (a bucketing
+must be monotone, so equal keys can't split); if a single timestamp
+value dominates the stream, bucket on a monotone event-id range
+instead of wall time.
 """
 
 from __future__ import annotations
@@ -61,14 +69,33 @@ def sequential_pairs(
         if ts_dtype.startswith("timestamp") or ts_dtype == "date"
         else F.col(ts_col).cast("double")
     )
-    bounds = ev.agg(F.min(ts_num).alias("mn"), F.max(ts_num).alias("mx")).collect()[0]
+    # ONE agg: emptiness probe + ntile-style quantile cutpoints (round-3
+    # verdict: uniform-width buckets make a time-skewed stream one big
+    # in-partition sort; quantile cuts track the mass, and ANY
+    # monotone-in-ts bucketing yields the identical pair stream)
+    qs = [float(i + 1) / n_buckets for i in range(n_buckets - 1)]
+    bounds = ev.agg(
+        F.min(ts_num).alias("mn"),
+        (F.percentile_approx(ts_num, qs, 10_000) if qs else F.array()).alias("cuts"),
+    ).collect()[0]
     if bounds["mn"] is None:
-        return ev.sparkSession.createDataFrame([], "src long, dst long")
-    mn, mx = float(bounds["mn"]), float(bounds["mx"])
-    width = max((mx - mn) / n_buckets, 1e-9)
-    bucket = F.least(
-        F.floor((ts_num - F.lit(mn)) / F.lit(width)), F.lit(n_buckets - 1)
-    ).cast("int")
+        # empty-input schema derives from value_col's actual type so an
+        # empty frame unions/writes identically to a non-empty one
+        from pyspark.sql.types import StructField, StructType
+
+        vt = ev.schema[value_col].dataType
+        return ev.sparkSession.createDataFrame(
+            [], StructType([StructField("src", vt), StructField("dst", vt)])
+        )
+    cuts = sorted(float(c) for c in (bounds["cuts"] or []))
+    # bucket = #cutpoints ≤ ts — monotone in ts, O(n_buckets) JVM array
+    # scan per row (n_buckets is small by construction; the stitch
+    # summary must stay driver-bounded anyway)
+    if cuts:
+        cuts_arr = F.array(*[F.lit(c) for c in cuts])
+        bucket = F.size(F.filter(cuts_arr, lambda c: c <= ts_num)).cast("int")
+    else:
+        bucket = F.lit(0).cast("int")
     b = ev.select(
         bucket.alias("_bucket"), F.col(ts_col).alias("_ts"), F.col(id_col).alias("_id"),
         F.col(value_col).alias("_val"),

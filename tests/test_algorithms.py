@@ -396,3 +396,48 @@ def test_pagerank_auto_smj_salts_by_default(spark):
     assert set(a) == set(b)
     for i in a:
         assert abs(a[i] - b[i]) < 1e-12
+
+
+def test_lp_null_seed_fixpoint_tier_parity(spark):
+    """ADVICE r3 (medium): with NULL seed labels, a vertex adopting its
+    first label must COUNT as a change in every tier — plain != yields
+    NULL and undercounts, terminating the fixpoint early. All three
+    tiers must agree on final labels AND superstep count."""
+    from quiver_spark.graph import Graph
+
+    # chain a(lab=x) → b(null) → c(null) → d(null): labels need 3
+    # rounds to reach d; an early-terminating tier stops at 1-2
+    v = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None), (4, None)], "id long, lab string"
+    )
+    e = spark.createDataFrame(
+        [(1, 2, "t"), (2, 3, "t"), (3, 4, "t")], "src long, dst long, etype string"
+    )
+    g = Graph(v, e)
+    outs, steps = {}, {}
+    for strat in ("smj", "bhj", "csr"):
+        res = label_propagation(
+            g, label_col="lab", max_iters=10, strategy=strat, n_blocks=2, direction="out"
+        )
+        outs[strat] = {r["id"]: r["label"] for r in res.state.collect()}
+        steps[strat] = res.supersteps
+    assert outs["smj"] == outs["bhj"] == outs["csr"]
+    assert steps["smj"] == steps["bhj"] == steps["csr"]
+    # the label actually propagated to the chain tail
+    assert outs["smj"][4] == "x"
+
+
+def test_pack_dangling_src_raises_diagnostic(spark):
+    """ADVICE r3: an edge src missing from the vertex table (and larger
+    than every block vertex) must raise the diagnostic ValueError, not
+    IndexError from an unclipped searchsorted."""
+    import pytest as _pytest
+
+    from quiver_spark import csr_blocks
+
+    pairs = spark.createDataFrame([(999, 1), (1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    with _pytest.raises(Exception) as ei:
+        csr_blocks.build_packed_blocks(pairs, verts, n_blocks=1)
+    assert "outside the block's vertex set" in str(ei.value)
+    assert "IndexError" not in str(ei.value)

@@ -65,3 +65,45 @@ def test_transition_edges_matches_pair_counts(spark, ev):
         for r in evops.transition_edges(ev).collect()
     }
     assert got == want
+
+
+def test_sequential_pairs_empty_schema_matches_value_type(spark):
+    """ADVICE r3: empty input must yield the SAME schema a non-empty
+    frame does — src/dst typed from value_col, not hard-coded long."""
+    empty = spark.createDataFrame([], "event_id long, ts double, user_id string")
+    out = evops.sequential_pairs(empty)
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("src", "string"), ("dst", "string")
+    ]
+    nonempty = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, 6.0, "b")], "event_id long, ts double, user_id string"
+    )
+    assert out.schema == evops.sequential_pairs(nonempty).schema
+    # empty frame unions cleanly with a populated pair stream
+    assert evops.sequential_pairs(nonempty).unionByName(out).count() == 1
+
+
+def test_sequential_pairs_planted_time_skew(spark):
+    """Round-3 verdict item 8: a flash-crowd stream (99% of events in
+    one 1-second burst inside a year-long span) must still equal the
+    global-window oracle, and the quantile bucketing must actually
+    split the burst (no single bucket holding the skewed mass)."""
+    rows = [(i, 1_000_000.0 + (i % 997) / 997.0, i % 53) for i in range(2000)]
+    rows += [(10_000 + i, float(i) * 31_536.0, 100 + i) for i in range(20)]
+    ev = spark.createDataFrame(rows, "event_id long, ts double, user_id long")
+    got = sorted(map(tuple, evops.sequential_pairs(ev, n_buckets=16).collect()))
+    want = sorted(map(tuple, _global_pairs(ev).collect()))
+    assert got == want
+    # the burst must not collapse into one bucket: rebuild the bucket
+    # expr the same way and assert the largest bucket ≪ the burst size
+    from pyspark.sql import functions as F2
+
+    qs = [float(i + 1) / 16 for i in range(15)]
+    cuts = sorted(
+        float(c)
+        for c in ev.agg(F2.percentile_approx(F2.col("ts").cast("double"), qs, 10_000)).collect()[0][0]
+    )
+    cuts_arr = F2.array(*[F2.lit(c) for c in cuts])
+    b = ev.select(F2.size(F2.filter(cuts_arr, lambda c: c <= F2.col("ts"))).alias("b"))
+    max_bucket = b.groupBy("b").count().agg(F2.max("count")).collect()[0][0]
+    assert max_bucket < 1000  # uniform bucketing would put all 2000 in one
