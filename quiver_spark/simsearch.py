@@ -83,9 +83,19 @@ def lsh_bucket(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """(id, embedding, bucket): random-hyperplane sign bucket per
-    vector. One Arrow-batched matmul per batch — no per-row Python."""
+    vector. One Arrow-batched matmul per batch — no per-row Python.
+
+    ``n_tables`` > 1 is OR-amplification (the standard LSH recall
+    lever): each vector gets one row PER independent table — table
+    ``t`` uses hyperplanes seeded ``seed + t`` and its bucket key is
+    ``(t << n_bits) | bits`` so one long column still identifies the
+    (table, bucket) cell and :func:`lsh_probe_topk` stays a single
+    ``isin`` filter. Candidate recall ≈ 1-(1-p)^L for per-table hit
+    rate p — the knob that trades scan fraction for recall without
+    touching bucket width."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = None
@@ -93,17 +103,20 @@ def lsh_bucket(
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = np.vstack(pdf[vec_col].to_numpy())
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             if planes is None:
-                planes = _hyperplanes(mat.shape[1], n_bits, seed)
-            bits = (mat.astype(np.float64) @ planes) > 0
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    vec_col: pdf[vec_col],
-                    "bucket": bits @ weights,
-                }
-            )
+                planes = [
+                    _hyperplanes(mat.shape[1], n_bits, seed + t) for t in range(n_tables)
+                ]
+            for t in range(n_tables):
+                bits = (mat @ planes[t]) > 0
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        vec_col: pdf[vec_col],
+                        "bucket": (bits @ weights) | np.int64(t << n_bits),
+                    }
+                )
 
     schema = f"{id_col} long, {vec_col} array<float>, bucket long"
     return emb.select(id_col, vec_col).mapInPandas(gen, schema)
@@ -117,18 +130,26 @@ def lsh_probe_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """ANN top-k: score only vectors in the query's bucket or any
-    hamming-1 neighbor bucket (multiprobe). Recall < 1 by design;
-    the brute path is the oracle."""
+    hamming-1 neighbor bucket (multiprobe), unioned across all
+    ``n_tables`` tables (must match :func:`lsh_bucket`'s). Recall < 1
+    by design; the brute path is the oracle. Multi-table candidates
+    dedupe on id before scoring so a vector matching several tables
+    scores once."""
     qv = np.asarray(query_vec, dtype=np.float64)
-    planes = _hyperplanes(len(query_vec), n_bits, seed)
-    bits = (qv @ planes) > 0
     weights = (1 << np.arange(n_bits)).astype(np.int64)
-    base = int(bits @ weights)
-    probes = [base] + [base ^ (1 << i) for i in range(n_bits)]
+    probes: list[int] = []
+    for t in range(n_tables):
+        planes = _hyperplanes(len(query_vec), n_bits, seed + t)
+        base = int(((qv @ planes) > 0) @ weights) | (t << n_bits)
+        probes.append(base)
+        probes.extend(base ^ (1 << i) for i in range(n_bits))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = bucketed.filter(F.col("bucket").isin(probes))
+    if n_tables > 1:
+        cand = cand.dropDuplicates([id_col])
     return (
         cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
