@@ -592,6 +592,19 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end 100 TB dedup deliverable (round-3 verdict item
+    7): minhash→LSH→jaccard-verified pairs → distributed CC → one
+    canonical (min-id) doc kept per cluster, singletons kept. One row
+    per document; the DuckDB twin recomputes it with brute-force exact
+    jaccard + a recursive-CTE closure."""
+    from quiver_spark import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.near_duplicate_pairs(docs, threshold=0.5, n_bands=32).select("a", "b")
+    return dedup.canonical_keep_table(docs, pairs)
+
+
 def q_doc_min_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quiver_spark import textops
 
@@ -1388,6 +1401,41 @@ SELECT CAST(8 AS BIGINT) AS n_queries, CAST(80 AS BIGINT) AS k_total,
 SELECT CAST(8 AS BIGINT) AS n_queries, CAST(80 AS BIGINT) AS k_total,
        true AS recall_ok
 """,
+    # end-to-end dedup deliverable: brute-force exact jaccard pairs →
+    # undirected recursive closure → min-id component → keep/drop
+    "doc_dedup_keep": r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, str_split_regex(trim(text), '\s+') AS t FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dup_pairs AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM dup_pairs UNION SELECT b, a FROM dup_pairs),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
+SELECT d.doc_id,
+       CAST(COALESCE(comp.component, d.doc_id) AS BIGINT) AS component,
+       COALESCE(comp.component, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+""",
 }
 
 # Dict ORDER is a contract: the driver's correctness gate records only
@@ -1480,6 +1528,9 @@ QUERIES = {
     "emb_knn_join_recall": q_emb_knn_join_recall,
     # oracled cross-module composition: dedup chain edges → Graph → CC
     "doc_dup_clusters": q_doc_dup_clusters,
+    # oracled end-to-end dedup deliverable: near-dup pairs → CC →
+    # canonical keep/drop table (round-4, verdict item 7)
+    "doc_dedup_keep": q_doc_dedup_keep,
 }
 
 # The driver records CORRECTNESS rows for exactly these 50 names, in

@@ -380,3 +380,26 @@ def test_lsh_multi_table_amplifies_recall(spark, emb):
     one = {(r["vec_id"], r["bucket"]) for r in b1.collect()}
     zero = {(r["vec_id"], r["bucket"]) for r in b6.filter(F.col("bucket") < 16).collect()}
     assert one == zero
+
+
+def test_canonical_keep_table_planted_clusters(spark):
+    """Planted near-dup groups {1,2,3} and {10,11}; 20 and 21 are
+    singletons. The keep table must keep exactly the min id per
+    cluster and every singleton, and components must label by min id."""
+    from quiver_spark import dedup
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    rows = {r["doc_id"]: (r["component"], r["keep"]) for r in
+            dedup.canonical_keep_table(docs, pairs).collect()}
+    assert rows == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (21, True),
+    }
+    kept = [i for i, (_, k) in rows.items() if k]
+    assert sorted(kept) == [1, 10, 20, 21]
