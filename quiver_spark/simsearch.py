@@ -471,3 +471,62 @@ def ivf_topk(
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
+
+
+def knn(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    max_broadcast_queries: int = 1_000_000,
+    centroids: np.ndarray | None = None,
+    assigned: DataFrame | None = None,
+    ivf_cells: int = 64,
+    nprobe: int = 8,
+    index_path: str | None = None,
+    io=None,
+) -> DataFrame:
+    """k-NN dispatcher (round-3 verdict item 6): query sets within the
+    broadcast guard run the EXACT blocked-matmul :func:`knn_join`;
+    beyond it the call routes to :func:`ivf_knn_join` with both sides
+    distributed instead of raising.
+
+    The IVF index for the big path comes from, in order:
+
+    1. explicit ``(assigned, centroids)`` arguments,
+    2. ``index_path`` — the ``jobs/run.py ann-index`` layout read back
+       through :class:`~quiver_spark.table_io.TableIO` (a
+       cell-partitioned vector table at ``index_path`` plus the
+       centroid table at ``index_path + "_centroids"``; pass ``io`` to
+       pick the Iceberg branch on a cluster),
+    3. built inline (``ivf_cells`` coarse cells over ``emb``) — fine
+       interactively, but at 100 TB prebuild with the job so the cell
+       partitioning is already on disk and the cogroup prunes.
+    """
+    if queries.count() <= max_broadcast_queries:
+        return knn_join(
+            emb, queries, k, id_col, vec_col, query_id_col, max_broadcast_queries
+        )
+    if assigned is None or centroids is None:
+        if index_path is not None:
+            from quiver_spark.table_io import TableIO
+
+            io = io or TableIO(emb.sparkSession, "parquet")
+            assigned = io.read(index_path)
+            cent_rows = io.read(index_path + "_centroids").orderBy("cell").collect()
+            centroids = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+        else:
+            centroids = ivf_centroids(emb, k=ivf_cells, id_col=id_col, vec_col=vec_col)
+            assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    return ivf_knn_join(
+        assigned,
+        queries,
+        centroids,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )

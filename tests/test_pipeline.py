@@ -403,3 +403,51 @@ def test_canonical_keep_table_planted_clusters(spark):
     }
     kept = [i for i, (_, k) in rows.items() if k]
     assert sorted(kept) == [1, 10, 20, 21]
+
+
+def test_knn_dispatcher_routes_instead_of_raising(spark, emb):
+    """Verdict item 6: beyond the broadcast guard the dispatcher must
+    ROUTE to the distributed ivf path (knn_join alone raises there);
+    within the guard it returns the exact broadcast result."""
+    from quiver_spark import simsearch
+
+    df, _ = emb
+    queries = df.limit(8).select(F.col("vec_id").alias("qid"), "embedding")
+    exact = {(r["qid"], r["vec_id"]) for r in simsearch.knn_join(df, queries, k=3).collect()}
+    # within guard → exact path, identical pairs
+    small = {(r["qid"], r["vec_id"]) for r in simsearch.knn(df, queries, k=3).collect()}
+    assert small == exact
+    # beyond guard: knn_join raises, knn routes (nprobe=cells → exact)
+    with pytest.raises(ValueError, match="ivf_knn_join"):
+        simsearch.knn_join(df, queries, k=3, max_broadcast_queries=4)
+    routed = simsearch.knn(
+        df, queries, k=3, max_broadcast_queries=4, ivf_cells=8, nprobe=8
+    )
+    assert {(r["qid"], r["vec_id"]) for r in routed.collect()} == exact
+
+
+def test_knn_dispatcher_loads_index_via_tableio(spark, emb, tmp_path):
+    """The big path can consume the jobs/run.py ann-index layout
+    (cell-partitioned vectors + centroid table) through TableIO."""
+    from quiver_spark import simsearch
+    from quiver_spark.table_io import TableIO
+
+    df, _ = emb
+    io = TableIO(spark, "parquet")
+    cent = simsearch.ivf_centroids(df, k=8)
+    assigned = simsearch.ivf_assign(df, cent)
+    path = str(tmp_path / "annidx")
+    io.write(assigned, path, partition_by=["cell"])
+    io.write(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+            "cell int, centroid array<double>",
+        ),
+        path + "_centroids",
+    )
+    queries = df.limit(6).select(F.col("vec_id").alias("qid"), "embedding")
+    exact = {(r["qid"], r["vec_id"]) for r in simsearch.knn_join(df, queries, k=3).collect()}
+    routed = simsearch.knn(
+        df, queries, k=3, max_broadcast_queries=2, index_path=path, nprobe=8
+    )
+    assert {(r["qid"], r["vec_id"]) for r in routed.collect()} == exact
