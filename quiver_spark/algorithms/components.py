@@ -69,6 +69,40 @@ def _undirected_pairs(graph: Graph) -> DataFrame:
     )
 
 
+def _star_double(und: DataFrame, state: DataFrame, large: bool) -> DataFrame:
+    """One alternating large/small-star hook + pointer-doubling round
+    (Kiveris et al., SoCC'14) over a parent forest ``(id, parent)``.
+    Parents only decrease and stay within the component, so the round
+    is safe from ANY valid warm start — including a partially-converged
+    HashMin state (the escalation path). Returns
+    ``(id, parent, _changed)`` with change detection in-frame."""
+    p = state.select(F.col("id").alias("u"), F.col("parent").alias("pu"))
+    q = state.select(F.col("id").alias("v"), F.col("parent").alias("pv"))
+    e = und.join(p, "u").join(q, "v")
+    if large:
+        cand = e.select(F.col("u").alias("id"), F.least("pu", "pv").alias("cand")).filter(
+            F.col("cand").isNotNull()
+        )
+    else:
+        cand = e.select(F.col("pu").alias("id"), F.least("pu", "pv").alias("cand"))
+    hooks = cand.groupBy("id").agg(F.min("cand").alias("hook"))
+    s = state.join(hooks, "id", "left").select(
+        "id",
+        F.least(F.col("parent"), F.coalesce(F.col("hook"), F.col("parent"))).alias("parent"),
+        F.col("parent").alias("_old"),
+    )
+    # pointer doubling: parent ← parent's parent — the O(log n) lever
+    gp = s.select(F.col("id").alias("parent"), F.col("parent").alias("gparent"))
+    return (
+        s.join(gp, "parent", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("gparent"), F.col("parent")).alias("parent"),
+            (F.coalesce(F.col("gparent"), F.col("parent")) != F.col("_old")).alias("_changed"),
+        )
+    )
+
+
 def connected_components(
     graph: Graph,
     max_iters: int = 50,
@@ -77,6 +111,7 @@ def connected_components(
     n_blocks: int | None = None,
     num_iters: int | None = None,
     runner: SuperstepRunner | None = None,
+    escalate_after: int | None = 20,
 ) -> SuperstepResult:
     """Returns SuperstepResult with state ``(id, component)``.
 
@@ -84,6 +119,18 @@ def connected_components(
     changed-count job (bench mode: HashMin's per-round cost is
     convergence-independent, so fixed rounds measure steady-state
     throughput; correctness callers use the default fixpoint mode).
+
+    ``escalate_after`` (fixpoint mode only): HashMin needs
+    diameter-many rounds, so after this many unconverged rounds the
+    step function switches IN-PLACE to alternating large/small-star +
+    pointer doubling (O(log n) rounds regardless of diameter, Kiveris
+    SoCC'14), warm-started from the current HashMin state — the
+    component ids reached so far are a valid parent forest, and star
+    hooks are monotone, so the fixpoint is identical. Real link graphs
+    have tiny diameters and never escalate; a pathological chain stops
+    being a 1000-round trap. ``None`` disables. The switch is a pure
+    function of the round number, so checkpoint/resume replays it
+    deterministically.
 
     ``strategy`` (hashmin only): ``smj`` shuffles the pair table
     through a sort-merge join every round; ``bhj`` is the
@@ -150,8 +197,26 @@ def connected_components(
         und = _undirected_pairs(graph).persist()
     und.count()
 
+    esc: dict = {"pairs": None}
+
+    def _esc_pairs() -> DataFrame:
+        if esc["pairs"] is None:
+            pairs = _undirected_pairs(graph).persist()
+            pairs.count()
+            esc["pairs"] = pairs
+            und.unpersist()  # the hashmin-tier frame is done voting
+        return esc["pairs"]
+
     def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
-        if strategy == "bhj":
+        if not fixed and escalate_after is not None and k >= escalate_after:
+            # HashMin failed to converge in escalate_after rounds —
+            # the graph is deep; switch to star rounds (docstring)
+            new_state = _star_double(
+                _esc_pairs(),
+                state.withColumnRenamed("component", "parent"),
+                large=((k - escalate_after) % 2 == 0),
+            ).withColumnRenamed("parent", "component")
+        elif strategy == "bhj":
             # self-loops make the min over incoming messages total:
             # every vertex hears its own component — one broadcast,
             # zero exchanges, done. The self-loop row (u == v) also
@@ -207,6 +272,8 @@ def connected_components(
         return runner.run(state0, step, tol=None if fixed else 0.0, max_iters=total)
     finally:
         und.unpersist()
+        if esc["pairs"] is not None:
+            esc["pairs"].unpersist()
 
 
 def _two_phase_cc(graph: Graph, max_iters: int, runner: SuperstepRunner | None) -> SuperstepResult:
@@ -225,42 +292,12 @@ def _two_phase_cc(graph: Graph, max_iters: int, runner: SuperstepRunner | None) 
     pairs = und.unionByName(graph.vertices.select(F.col("id").alias("u"), F.col("id").alias("v"))).dropDuplicates()
     state0 = pairs.groupBy(F.col("u").alias("id")).agg(F.least(F.min("v"), F.first("u")).alias("parent"))
 
-    def _star(state: DataFrame, large: bool) -> DataFrame:
-        # edges (u,v) with current parents substituted, then hook; the
-        # input parent rides along as _old (in-frame change detection —
-        # no separate vertex-sized join per round)
-        p = state.withColumnRenamed("id", "u").withColumnRenamed("parent", "pu")
-        q = state.withColumnRenamed("id", "v").withColumnRenamed("parent", "pv")
-        e = und.join(p, "u").join(q, "v")
-        if large:
-            # large-star: for each u, all strictly-larger neighbors' parents hook to min parent
-            cand = e.select(F.col("u").alias("id"), F.least("pu", "pv").alias("cand")).filter(F.col("cand").isNotNull())
-        else:
-            cand = e.select(F.col("pu").alias("id"), F.least("pu", "pv").alias("cand"))
-        hooks = cand.groupBy("id").agg(F.min("cand").alias("hook"))
-        return (
-            state.join(hooks, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("parent"), F.coalesce(F.col("hook"), F.col("parent"))).alias("parent"),
-                F.col("parent").alias("_old"),
-            )
-        )
-
     def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
-        s = _star(state, large=(k % 2 == 0))
-        # pointer doubling: parent ← parent's parent
-        gp = s.select(F.col("id").alias("parent"), F.col("parent").alias("gparent"))
-        s = (
-            s.join(gp, "parent", "left")
-            .select("id", F.coalesce(F.col("gparent"), F.col("parent")).alias("parent"), "_old")
-        )
+        s = _star_double(und, state, large=(k % 2 == 0))
         s = s.localCheckpoint()
         s._qs_checkpointed = True  # noqa: SLF001 — runner contract
-        changed = (
-            s.agg(F.sum((F.col("parent") != F.col("_old")).cast("int"))).collect()[0][0] or 0
-        )
-        out = s.drop("_old")
+        changed = s.agg(F.sum(F.col("_changed").cast("int"))).collect()[0][0] or 0
+        out = s.drop("_changed")
         out._qs_checkpointed = True  # noqa: SLF001 — projection over the checkpoint
         return out, float(changed)
 

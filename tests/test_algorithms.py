@@ -441,3 +441,33 @@ def test_pack_dangling_src_raises_diagnostic(spark):
         csr_blocks.build_packed_blocks(pairs, verts, n_blocks=1)
     assert "outside the block's vertex set" in str(ei.value)
     assert "IndexError" not in str(ei.value)
+
+
+def test_cc_escalates_on_deep_path_in_log_rounds(spark):
+    """Verdict r3 item 4: a diameter-1000 path would need 1000 HashMin
+    rounds; with escalation the default call converges EXACTLY in
+    escalate_after + O(log n) star rounds, with the min-id labels."""
+    from quiver_spark.graph import Graph
+
+    n = 1001
+    v = spark.createDataFrame([(i, "p") for i in range(n)], "id long, name string")
+    e = spark.createDataFrame(
+        [(i, i + 1, "x") for i in range(n - 1)], "src long, dst long, etype string"
+    )
+    g = Graph(v, e)
+    res = connected_components(g, max_iters=50, escalate_after=8)
+    assert res.converged, "escalated run must converge inside max_iters"
+    assert res.supersteps <= 8 + 2 * 12 + 2  # 8 hashmin + ~2*log2(1000) star
+    comp = {r["component"] for r in res.state.collect()}
+    assert comp == {0}
+    # warm-started escalation == cold two_phase == tiny-diameter hashmin
+    cold = connected_components(g, max_iters=60, algorithm="two_phase")
+    assert {r["component"] for r in cold.state.collect()} == {0}
+
+
+def test_cc_escalation_preserves_planted_labels(spark, planted_cc):
+    """Forcing escalation on an already-easy graph must not change the
+    exact min-id component labels."""
+    res = connected_components(planted_cc, escalate_after=1)
+    comp = {r["id"]: r["component"] for r in res.state.collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 100: 100, 101: 100, 102: 100, 200: 200, 201: 200}
