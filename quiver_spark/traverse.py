@@ -225,19 +225,41 @@ def cheapest_path_costs(
     direction: str = "out",
     max_iters: int = 100,
     checkpoint_every: int = 8,
+    rows_per_salt: int = 100_000,
 ) -> DataFrame:
     """Min-cost distances from seeds — distributed Bellman-Ford
     (quiver ``cheapestPath`` generalized to all targets
     [pub: Graph.scala#cheapestPath]). Edge cost is an edge column;
     returns ``(id, cost, parent)``. Iterates relaxation
     ``dist' = min(dist, min over in-edges (dist[u] + w))`` to fixpoint.
+
+    The relax ``groupBy(id)`` min is salted degree-proportionally on
+    power-law graphs (round-3 verdict item 5 — the same
+    ``skew.degree_sketch`` two-phase aggregate the auto-smj pagerank
+    tier uses): keys whose in-degree exceeds ``rows_per_salt`` fan
+    their rows across ``ceil(freq/rows_per_salt)`` reducer cells with
+    a partial min per cell, so a 10M-in-degree super-node stops owning
+    one reducer. The sketch is one map-side-combined pass over the
+    static edge frame; when no key crosses the floor the salted plan
+    is skipped entirely (uniform graphs pay nothing). min is
+    associative/commutative, so the two-phase result is exact.
     """
+    from quiver_spark.skew import degree_sketch
+
     match_col, expand_col = _DIRS[direction]
     edges = graph.edges.select(
         F.col(match_col).alias("u"), F.col(expand_col).alias("v"), F.col(cost_col).cast("double").alias("w")
     )
     edges.persist()
     try:
+        hot = degree_sketch(edges, "v", min_freq=rows_per_salt)
+        hot_b = F.broadcast(
+            hot.select(
+                F.col("v").alias("id"),
+                F.ceil(F.col("freq") / F.lit(rows_per_salt)).cast("int").alias("_nsalt"),
+            )
+        )
+        salt = hot.count() > 0
         dist = _ids_df(graph.spark, seeds).select(
             "id", F.lit(0.0).alias("cost"), F.lit(None).cast("long").alias("parent")
         )
@@ -254,20 +276,38 @@ def cheapest_path_costs(
             # the min-struct and prev-cost come out of ONE aggregate,
             # so the fixpoint check is a cheap scan of the checkpointed
             # result instead of a second join job per iteration
-            new_dist = (
-                dist.select("id", "cost", "parent", F.lit(True).alias("_isprev"))
-                .unionByName(relaxed)
-                .groupBy("id")
-                .agg(
-                    F.min(F.struct("cost", "parent")).alias("cp"),
-                    F.min(F.when(F.col("_isprev"), F.col("cost"))).alias("_prev"),
+            unioned = dist.select(
+                "id", "cost", "parent", F.lit(True).alias("_isprev")
+            ).unionByName(relaxed)
+            aggs = [
+                F.min(F.struct("cost", "parent")).alias("cp"),
+                F.min(F.when(F.col("_isprev"), F.col("cost"))).alias("_prev"),
+            ]
+            if salt:
+                # two-phase: partial min per (id, salt) cell, final min
+                # per id over ≤ ceil(freq/rows_per_salt) rows per hot key
+                grouped = (
+                    unioned.join(hot_b, "id", "left")
+                    .withColumn("_nsalt", F.coalesce(F.col("_nsalt"), F.lit(1)))
+                    .withColumn(
+                        "_salt",
+                        F.pmod(
+                            F.xxhash64(F.coalesce(F.col("parent"), F.col("id"))),
+                            F.col("_nsalt").cast("long"),
+                        ),
+                    )
+                    .groupBy("id", "_salt")
+                    .agg(*aggs)
+                    .groupBy("id")
+                    .agg(F.min("cp").alias("cp"), F.min("_prev").alias("_prev"))
                 )
-                .select(
-                    "id",
-                    F.col("cp.cost").alias("cost"),
-                    F.col("cp.parent").alias("parent"),
-                    (F.col("_prev").isNull() | (F.col("cp.cost") < F.col("_prev"))).alias("_changed"),
-                )
+            else:
+                grouped = unioned.groupBy("id").agg(*aggs)
+            new_dist = grouped.select(
+                "id",
+                F.col("cp.cost").alias("cost"),
+                F.col("cp.parent").alias("parent"),
+                (F.col("_prev").isNull() | (F.col("cp.cost") < F.col("_prev"))).alias("_changed"),
             )
             # materialize each round: the fixpoint scan reads the cache,
             # and checkpointing truncates the k-deep join lineage

@@ -126,3 +126,29 @@ def test_bfs_non_broadcast_fallback_same_result(spark, monkeypatch):
     monkeypatch.setattr(tv, "BROADCAST_FRONTIER_MAX", 2)
     fallback = sorted(tuple(r) for r in tv.bfs(g, [0]).collect())
     assert normal == fallback
+
+
+def test_cheapest_path_salted_equals_unsalted(spark):
+    """Verdict r3 item 5: degree-proportional salting of the relax
+    aggregate is a physical rewrite only — (cost, parent) identical on
+    a seeded power-law fixture whose hub forces the salted plan."""
+    from quiver_spark import ingest as ing
+    from quiver_spark.graph import Graph
+    from pyspark.sql import functions as F2
+
+    edges = (
+        ing.synthesize_powerlaw_edges(spark, n_vertices=500, n_edges=3000, seed=13)
+        .withColumn("weight", (F2.pmod(F2.xxhash64("src", "dst"), F2.lit(7)) + F2.lit(1)).cast("double"))
+    )
+    g = Graph.from_edges(edges)
+    seeds = [r["id"] for r in g.vertices.orderBy("id").limit(3).collect()]
+    plain = {
+        (r["id"]): (r["cost"], r["parent"])
+        for r in traverse.cheapest_path_costs(g, seeds, rows_per_salt=10**9).collect()
+    }
+    salted = {
+        (r["id"]): (r["cost"], r["parent"])
+        for r in traverse.cheapest_path_costs(g, seeds, rows_per_salt=10).collect()
+    }
+    assert plain == salted
+    assert len(plain) > 3  # actually relaxed beyond the seeds
