@@ -136,6 +136,13 @@ def main() -> None:
 
     extra["ivf_knn_rows"] = timed("ivf_knn_join_512q", ivf_knn)
 
+    # in-band box control (round-3 verdict item 2): a pinned numpy
+    # kernel whose work never changes — suite walls are read RELATIVE
+    # to it, so a busy driver box stops looking like a 2x regression
+    from quiver_spark.boxprobe import box_control
+
+    ctl = box_control()
+
     total = round(sum(timings.values()), 3)
     line = {
         "metric": "graph_suite_wall_sec",
@@ -144,6 +151,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "box_control": ctl,
+        "value_normalized_to_ref_box": round(total / max(ctl["box_control_ratio"], 0.1), 1),
         **extra,
     }
     print(json.dumps(line))

@@ -113,9 +113,12 @@ def main() -> None:
         return statistics.median(r["wall_per_superstep_ms"][r["warmup_supersteps"]:])
 
     median_eff = (med(r_lo) / med(r_hi)) / factor
+    from quiver_spark.boxprobe import box_control
+
     result = {
         "metric": f"{args.algo}_scaling_efficiency",
         "strategy": args.strategy,
+        "box_control": box_control(),
         "value": round(eff, 3),
         "median_eff": round(median_eff, 3),
         "unit": f"throughput ratio / {factor:g}x cores",
@@ -138,7 +141,10 @@ def main() -> None:
             f"| local[{hi}] | {r_hi['wall_sec']} | {r_hi['supersteps_per_sec']} | {r_hi['edges_per_sec']:,} |\n\n"
             f"scaling efficiency (throughput@{hi} / throughput@{lo}) / {factor:g} = **{eff:.3f}** "
             f"(median-of-steady: **{median_eff:.3f}**) "
-            f"(target ≥ 0.8 → {'PASS' if eff >= 0.8 else 'FAIL'})\n"
+            f"(target ≥ 0.8 → {'PASS' if eff >= 0.8 else 'FAIL'})\n\n"
+            f"box control: {result['box_control']['box_control_sec']} s "
+            f"(ref {result['box_control']['box_control_ref_sec']} s, "
+            f"ratio {result['box_control']['box_control_ratio']})\n"
         )
 
 
