@@ -46,6 +46,10 @@ if algo == "pagerank":
     res = pagerank(g, num_iters=iters, strategy=strat, n_blocks=NB)
 elif algo == "cc":
     res = connected_components(g, num_iters=iters, strategy=strat, n_blocks=NB)
+elif algo == "cc_star":
+    # the deep-graph escalation tier: alternating large/small-star +
+    # pointer doubling, fixpoint mode (round count is diameter-free)
+    res = connected_components(g, algorithm="two_phase", max_iters=iters)
 elif algo == "lp":
     res = label_propagation(g, num_iters=iters, strategy=strat, n_blocks=NB)
 else:
@@ -97,7 +101,7 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--strategy", default="csr_bcast")
-    ap.add_argument("--algo", default="pagerank", choices=["pagerank", "cc", "lp"])
+    ap.add_argument("--algo", default="pagerank", choices=["pagerank", "cc", "cc_star", "lp"])
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
 
