@@ -21,6 +21,13 @@ import os
 import subprocess
 import sys
 
+# a by-path launch puts bench/ (not the repo root) on sys.path; the
+# late box_control import once crashed the parent AFTER both measured
+# levels completed, losing ~40 min of evidence — pin the root here
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
 _CHILD = """
 import json, os, sys, time
 from quiver_spark.session import get_spark
@@ -104,9 +111,15 @@ def main() -> None:
     ap.add_argument("--algo", default="pagerank", choices=["pagerank", "cc", "cc_star", "lp"])
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
+    # verify the deferred import NOW, not 40 min from now
+    from quiver_spark import boxprobe as _probe  # noqa: F401
 
+    # echo each level's raw measurement the moment it lands: a crash
+    # anywhere downstream must never lose a completed ~20-min run
     r_lo = run_level(lo, args.vertices, args.edges, args.iters, args.strategy, args.algo)
+    print("LEVEL " + json.dumps(r_lo), flush=True)
     r_hi = run_level(hi, args.vertices, args.edges, args.iters, args.strategy, args.algo)
+    print("LEVEL " + json.dumps(r_hi), flush=True)
     factor = hi / lo
     eff = (r_hi["edges_per_sec"] / r_lo["edges_per_sec"]) / factor
     # median-of-steady is robust to one-off GC/page-cache spikes that
@@ -117,7 +130,7 @@ def main() -> None:
         return statistics.median(r["wall_per_superstep_ms"][r["warmup_supersteps"]:])
 
     median_eff = (med(r_lo) / med(r_hi)) / factor
-    from quiver_spark.boxprobe import box_control
+    from quiver_spark.boxprobe import box_control  # fail-fast verified at launch
 
     result = {
         "metric": f"{args.algo}_scaling_efficiency",
