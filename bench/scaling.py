@@ -67,7 +67,10 @@ iters = res.supersteps  # cc runs to its fixpoint; use the real count
 # steady-state throughput: drop the first WARM supersteps (cache
 # population, python-worker spin-up, JIT/codegen) — scaling efficiency
 # must compare the repeated per-superstep work, not one-time setup.
-WARM = min(4, iters - 1)
+# cc_star runs to its fixpoint in ~O(log n) heavy rounds (often < 8
+# total), so a 4-round warmup would eat most of the sample; its
+# steady-state starts after round 2
+WARM = min(2 if algo == "cc_star" else 4, iters - 1)
 steady = [m["wall_ms"] for m in res.metrics][WARM:]
 steady_wall = sum(steady) / 1000.0
 k = len(steady)
