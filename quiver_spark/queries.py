@@ -821,6 +821,28 @@ def q_emb_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(hits, total)], "hits long, k_total long")
 
 
+def q_emb_knn_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed knn join at its exactness boundary: with
+    ``nprobe = n_cells`` every cell is probed, so
+    :func:`simsearch.ivf_knn_join` must equal brute-force top-5 per
+    query bit-for-bit (ties (cos desc, vec_id asc) — module doc).
+    Gives the beyond-broadcast knn path a VALUE-level DuckDB oracle
+    (``emb_knn_join_recall`` stays rows-only for the approximate
+    nprobe<cells regime, which has no SQL twin)."""
+    from quiver_spark import simsearch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter((F.col("vec_id") % 13 == 0) & (F.col("vec_id") < 416)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    cent = simsearch.ivf_centroids(emb, k=16)
+    assigned = simsearch.ivf_assign(emb, cent)
+    full = simsearch.ivf_knn_join(assigned, queries, cent, k=5, nprobe=len(cent))
+    return full.select(
+        "qid", "vec_id", F.floor(F.col("cos") * 1e6 + F.lit(0.5)).cast("long").alias("cos_e6")
+    )
+
+
 # ----------------------------------------------------- repo-graph queries
 # (no DuckDB view of the synthetic repo table → rows-only checks)
 def _repo_n_files(sf_dir: str) -> int:
@@ -1311,6 +1333,20 @@ SELECT x.vec_id AS a, y.vec_id AS b
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])) >= 0.35
 """,
+    "emb_knn_exact_pairs": """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 13 = 0 AND vec_id < 416
+),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+  FROM embeddings e, q
+)
+SELECT qid, vec_id, CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS cos_e6
+FROM s
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) <= 5
+""",
     "mm_resize_plan": """
 WITH a AS (
   SELECT CAST(i AS BIGINT) AS asset_id,
@@ -1526,6 +1562,9 @@ QUERIES = {
     "repo_components": q_repo_components,
     # rows-only: distributed knn-join recall vs the exact broadcast join
     "emb_knn_join_recall": q_emb_knn_join_recall,
+    # VALUE-level oracle for the distributed knn join at its exactness
+    # boundary (nprobe = n_cells ⇒ bit-for-bit equal to brute force)
+    "emb_knn_exact_pairs": q_emb_knn_exact_pairs,
     # oracled cross-module composition: dedup chain edges → Graph → CC
     "doc_dup_clusters": q_doc_dup_clusters,
     # oracled end-to-end dedup deliverable: near-dup pairs → CC →
