@@ -201,10 +201,18 @@ def connected_components(
 
     def _esc_pairs() -> DataFrame:
         if esc["pairs"] is None:
-            pairs = _undirected_pairs(graph).persist()
-            pairs.count()
-            esc["pairs"] = pairs
-            und.unpersist()  # the hashmin-tier frame is done voting
+            if strategy == "smj":
+                # the smj tier's cached frame IS the plain undirected
+                # pair table — reuse it instead of shuffling a second
+                # byte-identical copy at the escalation switch
+                esc["pairs"] = und
+            else:
+                # bhj carries injected self-loops / block columns and
+                # csr is a packed binary layout — rebuild plain pairs
+                pairs = _undirected_pairs(graph).persist()
+                pairs.count()
+                esc["pairs"] = pairs
+                und.unpersist()  # the hashmin-tier frame is done voting
         return esc["pairs"]
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:

@@ -725,12 +725,16 @@ def _recall_hits(spark, emb, approx_topk) -> int:
     """Σ |approx ∩ brute| @10 over the fixed query set."""
     from quiver_spark import simsearch
 
+    # one scan fetches all 8 fixed query vectors (not 8 filter jobs)
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(list(_RECALL_QIDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    }
     hits = 0
     for qid in _RECALL_QIDS:
-        qvec = [
-            float(x)
-            for x in emb.filter(F.col("vec_id") == qid).select("embedding").collect()[0][0]
-        ]
+        qvec = qvecs[qid]
         brute = {r["vec_id"] for r in simsearch.cosine_topk(emb, qvec, k=10).collect()}
         hits += len(brute & approx_topk(qvec))
     return hits

@@ -165,6 +165,7 @@ def knn_join(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     max_broadcast_queries: int = 1_000_000,
+    query_count: int | None = None,
 ) -> DataFrame:
     """Exact k-NN of every query vector against the corpus: one
     blocked matmul per (corpus-partition × broadcast query matrix)
@@ -172,8 +173,10 @@ def knn_join(
     be broadcast-sized (it is collected to numpy — guarded below); the
     corpus side streams partition-local. For query sets beyond the
     guard, use :func:`ivf_knn_join` — both sides stay distributed,
-    cogrouped per IVF cell."""
-    n_q = queries.count()
+    cogrouped per IVF cell. ``query_count`` lets a caller that already
+    counted the query side (the :func:`knn` dispatcher) skip the
+    second count job on a derived query plan."""
+    n_q = queries.count() if query_count is None else query_count
     if n_q > max_broadcast_queries:
         raise ValueError(
             f"knn_join collects the query side to the driver ({n_q} rows > "
@@ -505,11 +508,29 @@ def knn(
        interactively, but at 100 TB prebuild with the job so the cell
        partitioning is already on disk and the cogroup prunes.
     """
-    if queries.count() <= max_broadcast_queries:
+    n_q = queries.count()
+    if n_q <= max_broadcast_queries:
         return knn_join(
-            emb, queries, k, id_col, vec_col, query_id_col, max_broadcast_queries
+            emb,
+            queries,
+            k,
+            id_col,
+            vec_col,
+            query_id_col,
+            max_broadcast_queries,
+            query_count=n_q,
         )
-    if assigned is None or centroids is None:
+    if assigned is not None and centroids is None:
+        raise ValueError(
+            "assigned was given without its centroid matrix; ivf_knn_join "
+            "routes queries to cells via the centroids — pass the matching "
+            "`centroids` (or neither, to build/load the index)"
+        )
+    if centroids is not None and assigned is None:
+        # honor the caller's quantizer: assign against THEIR centroids
+        # instead of silently retraining a different index
+        assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    elif assigned is None:
         if index_path is not None:
             from quiver_spark.table_io import TableIO
 

@@ -38,6 +38,48 @@ def degree_sketch(
     )
 
 
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    hot: DataFrame | None = None,
+    rows_per_salt: int = 100_000,
+    salt_entropy: Column | None = None,
+) -> DataFrame:
+    """Generic two-phase ``groupBy(key).agg(...)`` with
+    degree-proportional salting — the shared scaffold under
+    :func:`salted_sum` and the Bellman-Ford relax min
+    (traverse.cheapest_path_costs). Exact only when the (partial,
+    final) pair forms an algebraic aggregate: partials run per
+    ``(key, _salt)`` cell, finals fold the partials per key (sum/sum,
+    min/min, max/max, count/sum...).
+
+    ``hot`` is a (key, freq) frame (from :func:`degree_sketch`);
+    ``None`` computes it from ``df`` with ``min_freq=rows_per_salt``.
+    ``salt_entropy`` is the column hashed to pick a salt within a hot
+    key's fan — pass the other join side's key for deterministic
+    spreading.
+
+    Physical shape: broadcast the sketch, derive ``n_salts`` per row
+    (1 for cold keys), partial agg on (key, salt), final agg on key.
+    The second aggregate sees at most ``ceil(freq/rows_per_salt)``
+    rows per hot key instead of ``freq``.
+    """
+    if hot is None:
+        hot = degree_sketch(df, key, min_freq=rows_per_salt)
+    hot_b = F.broadcast(
+        hot.select(F.col(key), F.ceil(F.col("freq") / F.lit(rows_per_salt)).cast("int").alias("_nsalt"))
+    )
+    ent = salt_entropy if salt_entropy is not None else F.xxhash64(F.rand(seed=0))
+    salted = (
+        df.join(hot_b, key, "left")
+        .withColumn("_nsalt", F.coalesce(F.col("_nsalt"), F.lit(1)))
+        .withColumn("_salt", F.pmod(ent, F.col("_nsalt").cast("long")))
+    )
+    return salted.groupBy(key, "_salt").agg(*partial_aggs).groupBy(key).agg(*final_aggs)
+
+
 def salted_sum(
     df: DataFrame,
     key: str,
@@ -47,29 +89,15 @@ def salted_sum(
     rows_per_salt: int = 100_000,
     salt_entropy: Column | None = None,
 ) -> DataFrame:
-    """groupBy(key).sum(value) with degree-proportional salting.
-
-    ``hot`` is a (key, freq) frame (from :func:`degree_sketch`);
-    ``None`` computes it from ``df`` with ``min_freq=rows_per_salt``.
-    ``salt_entropy`` is the column hashed to pick a salt within a hot
-    key's fan (defaults to a per-row random-ish hash of the value) —
-    pass the other join side's key for deterministic spreading.
-
-    Physical shape: broadcast the sketch, derive ``n_salts`` per row
-    (1 for cold keys), partial-sum on (key, salt), final-sum on key.
-    The second aggregate sees at most ``ceil(freq/rows_per_salt)``
-    rows per hot key instead of ``freq``.
-    """
-    if hot is None:
-        hot = degree_sketch(df, key, min_freq=rows_per_salt)
-    hot_b = F.broadcast(
-        hot.select(F.col(key), F.ceil(F.col("freq") / F.lit(rows_per_salt)).cast("int").alias("_nsalt"))
-    )
+    """groupBy(key).sum(value) with degree-proportional salting —
+    :func:`salted_agg` specialized to the sum/sum pair."""
     ent = salt_entropy if salt_entropy is not None else F.xxhash64(F.col(value))
-    salted = (
-        df.join(hot_b, key, "left")
-        .withColumn("_nsalt", F.coalesce(F.col("_nsalt"), F.lit(1)))
-        .withColumn("_salt", F.pmod(ent, F.col("_nsalt").cast("long")))
+    return salted_agg(
+        df,
+        key,
+        [F.sum(value).alias("_psum")],
+        [F.sum("_psum").alias(out)],
+        hot=hot,
+        rows_per_salt=rows_per_salt,
+        salt_entropy=ent,
     )
-    partial = salted.groupBy(key, "_salt").agg(F.sum(value).alias("_psum"))
-    return partial.groupBy(key).agg(F.sum("_psum").alias(out))

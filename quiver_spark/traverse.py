@@ -244,21 +244,20 @@ def cheapest_path_costs(
     is skipped entirely (uniform graphs pay nothing). min is
     associative/commutative, so the two-phase result is exact.
     """
-    from quiver_spark.skew import degree_sketch
+    from quiver_spark.skew import degree_sketch, salted_agg
 
     match_col, expand_col = _DIRS[direction]
     edges = graph.edges.select(
         F.col(match_col).alias("u"), F.col(expand_col).alias("v"), F.col(cost_col).cast("double").alias("w")
     )
     edges.persist()
+    hot = degree_sketch(edges, "v", min_freq=rows_per_salt).select(
+        F.col("v").alias("id"), "freq"
+    )
+    # persisted: the sketch plan (a full-edge aggregate) would otherwise
+    # re-execute inside EVERY iteration's salted-relax plan
+    hot.persist()
     try:
-        hot = degree_sketch(edges, "v", min_freq=rows_per_salt)
-        hot_b = F.broadcast(
-            hot.select(
-                F.col("v").alias("id"),
-                F.ceil(F.col("freq") / F.lit(rows_per_salt)).cast("int").alias("_nsalt"),
-            )
-        )
         salt = hot.count() > 0
         dist = _ids_df(graph.spark, seeds).select(
             "id", F.lit(0.0).alias("cost"), F.lit(None).cast("long").alias("parent")
@@ -286,20 +285,15 @@ def cheapest_path_costs(
             if salt:
                 # two-phase: partial min per (id, salt) cell, final min
                 # per id over ≤ ceil(freq/rows_per_salt) rows per hot key
-                grouped = (
-                    unioned.join(hot_b, "id", "left")
-                    .withColumn("_nsalt", F.coalesce(F.col("_nsalt"), F.lit(1)))
-                    .withColumn(
-                        "_salt",
-                        F.pmod(
-                            F.xxhash64(F.coalesce(F.col("parent"), F.col("id"))),
-                            F.col("_nsalt").cast("long"),
-                        ),
-                    )
-                    .groupBy("id", "_salt")
-                    .agg(*aggs)
-                    .groupBy("id")
-                    .agg(F.min("cp").alias("cp"), F.min("_prev").alias("_prev"))
+                # (min is algebraic, so salted_agg is exact)
+                grouped = salted_agg(
+                    unioned,
+                    "id",
+                    aggs,
+                    [F.min("cp").alias("cp"), F.min("_prev").alias("_prev")],
+                    hot=hot,
+                    rows_per_salt=rows_per_salt,
+                    salt_entropy=F.xxhash64(F.coalesce(F.col("parent"), F.col("id"))),
                 )
             else:
                 grouped = unioned.groupBy("id").agg(*aggs)
@@ -318,6 +312,7 @@ def cheapest_path_costs(
                 break
         return dist
     finally:
+        hot.unpersist()
         edges.unpersist()
 
 

@@ -451,3 +451,31 @@ def test_knn_dispatcher_loads_index_via_tableio(spark, emb, tmp_path):
         df, queries, k=3, max_broadcast_queries=2, index_path=path, nprobe=8
     )
     assert {(r["qid"], r["vec_id"]) for r in routed.collect()} == exact
+
+
+def test_knn_dispatcher_honors_caller_centroids(spark, emb):
+    """A caller-supplied quantizer must be USED, not silently retrained:
+    centroids without assigned → assign against the caller's centroids
+    (full probe of their 4 cells == exact); assigned without centroids
+    → hard error (cell routing needs the matching matrix)."""
+    from quiver_spark import simsearch
+
+    df, _ = emb
+    queries = df.limit(6).select(F.col("vec_id").alias("qid"), "embedding")
+    exact = {(r["qid"], r["vec_id"]) for r in simsearch.knn_join(df, queries, k=3).collect()}
+    my_cent = simsearch.ivf_centroids(df, k=4)
+    routed = simsearch.knn(
+        df, queries, k=3, max_broadcast_queries=2, centroids=my_cent, nprobe=4
+    )
+    # nprobe == the CALLER's cell count → exact only if their 4-cell
+    # quantizer was honored (the default inline build is 64 cells,
+    # where nprobe=4 probes a fraction of the corpus)
+    assert {(r["qid"], r["vec_id"]) for r in routed.collect()} == exact
+    with pytest.raises(ValueError, match="centroid"):
+        simsearch.knn(
+            df,
+            queries,
+            k=3,
+            max_broadcast_queries=2,
+            assigned=simsearch.ivf_assign(df, my_cent),
+        )
