@@ -27,13 +27,21 @@ from quiver_spark.graph import Graph
 
 
 def _oriented_edges(graph: Graph) -> DataFrame:
-    """Undirected simple edges oriented by (degree, id) order."""
+    """Undirected simple edges oriented by (degree, id) order.
+
+    The deduped pair table feeds the degree aggregate (twice, via the
+    endpoint union) AND the orientation join — persisted so the
+    union+dropDuplicates shuffle over the full edge set runs once, not
+    once per consumer. Orientation is a single conditional projection
+    over the degree-joined frame (not two filter passes + a union), so
+    ``e`` — itself two joins — is scanned once."""
     und = (
         graph.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .filter(F.col("a") != F.col("b"))  # self-loops never close triangles
         .unionByName(graph.edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .dropDuplicates()
         .filter(F.col("a") < F.col("b"))  # canonical undirected pair
+        .persist()
     )
     deg = (
         und.select(F.col("a").alias("id"))
@@ -44,19 +52,26 @@ def _oriented_edges(graph: Graph) -> DataFrame:
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
     e = und.join(da, "a").join(db, "b")
-    # orient low (deg, id) → high (deg, id)
-    fwd = e.filter(
-        (F.col("deg_a") < F.col("deg_b")) | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
-    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
-    bwd = e.filter(
-        (F.col("deg_b") < F.col("deg_a")) | ((F.col("deg_a") == F.col("deg_b")) & (F.col("b") < F.col("a")))
-    ).select(F.col("b").alias("u"), F.col("a").alias("v"))
-    return fwd.unionByName(bwd)
+    # orient low (deg, id) → high (deg, id); ties break on id, so the
+    # two when-branches are exhaustive (a == b was filtered above)
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    oriented._qs_und = und  # noqa: SLF001 — released once oriented materializes
+    return oriented
 
 
 def _triangle_triples(graph: Graph) -> DataFrame:
     """One row per triangle: (x, y, z) vertex ids, each triangle once."""
-    o = _oriented_edges(graph).persist()
+    o = _oriented_edges(graph)
+    und = o._qs_und  # noqa: SLF001
+    o = o.persist()
+    o.count()  # materialize the oriented cache: the pair-table cache
+    und.unpersist()  # is then done — wedge/closing scans read `o` only
     e1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
     wedges = e1.join(e2, "y")

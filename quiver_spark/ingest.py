@@ -62,8 +62,9 @@ REPO_SCHEMA = T.StructType(
 
 def _mix(x: np.ndarray, salt: int) -> np.ndarray:
     """SplitMix64 avalanche — vectorized deterministic uint64 hash."""
-    # fold the salt in Python ints (numpy scalar uint64 mul warns on wrap)
-    z = x.astype(np.uint64) + np.uint64((salt * 0x9E3779B97F4A7C15) % 2**64)
+    # fold the salt in Python ints: a numpy-scalar salt would promote
+    # the fold through float64 and silently lose low bits
+    z = x.astype(np.uint64) + np.uint64((int(salt) * 0x9E3779B97F4A7C15) % 2**64)
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return z ^ (z >> np.uint64(31))
@@ -122,25 +123,34 @@ def synthesize_repo_table(
             path = np.where(is_dup, ppath, path)
             lang = np.where(is_dup, plang, lang)
             commit_no = np.where(is_dup, 1, 0)
-            commit = np.array(
-                [f"{_mix(np.array([p], dtype=np.uint64), 77 + c)[0]:016x}" for p, c in zip(pidx, commit_no)]
-            )
+            csel = np.where(commit_no == 1, _mix(pidx, 78), _mix(pidx, 77))
+            commit = np.array([f"{c:016x}" for c in csel])
 
             # imports: power-law target popularity (cube of a uniform
-            # keeps most probability mass on low file ids)
+            # keeps most probability mass on low file ids). All hash
+            # math is batch-vectorized per import slot j (per-row
+            # 1-element numpy calls dominated the generator's wall);
+            # the target's "repo_NNNN/fT" string is the closed form of
+            # _row_fields' repo + filename stem for index T.
             n_imp = (_unit(base, 5) * (max_imports + 1)).astype(np.int64)
+            pidx_i = pidx.astype(np.int64)
+            imp_cols: list[list[str]] = []
+            for j in range(max_imports):
+                t = (n_files * _unit(pidx, 100 + j) ** 3).astype(np.int64)
+                t = np.where(t == pidx_i, (t + 1) % n_files, t)
+                tbase = t.astype(np.uint64) + np.uint64(seed) * np.uint64(1_000_003)
+                trid = (n_repos * _unit(tbase, 1) ** 2).astype(np.int64)
+                imp_cols.append(
+                    [f"import repo_{r:04d}/f{v}" for r, v in zip(trid, t)]
+                )
+            fsel = np.where(commit_no == 1, _mix(pidx, 1000), _mix(pidx, 999))
+            tails = [f"def body_{x:016x}(): pass" for x in fsel]
             contents = []
-            for i, fid in enumerate(pidx):
+            for i in range(len(idx)):
                 lines = [f"// {repo[i]}/{path[i]} @ {commit[i]}"]
                 for j in range(int(n_imp[i])):
-                    t = int(n_files * _unit(np.array([fid], dtype=np.uint64), 100 + j)[0] ** 3)
-                    if t == int(fid):
-                        t = (t + 1) % n_files
-                    trepo, tpath, _, _ = _row_fields(np.array([t], dtype=np.uint64), n_files, n_repos, seed)
-                    stem = tpath[0].rsplit("/", 1)[-1].split(".")[0]
-                    lines.append(f"import {trepo[0]}/{stem}")
-                filler = _mix(np.array([fid], dtype=np.uint64), 999 + int(commit_no[i]))[0]
-                lines.append(f"def body_{filler:016x}(): pass")
+                    lines.append(imp_cols[j][i])
+                lines.append(tails[i])
                 contents.append("\n".join(lines))
 
             yield pd.DataFrame(

@@ -201,6 +201,48 @@ def test_submit_labelprop_kill_resume_equals_uninterrupted(tmp_path):
     assert _parquet_rows_equal(str(tmp_path / "resumed"), str(tmp_path / "reference"))
 
 
+def test_submit_pagerank_kill_resume_equals_uninterrupted(tmp_path):
+    """Crash/resume/equality contract for the FLAGSHIP (BASELINE.json
+    north rule: PageRank resumable from checkpoint). Ranks are doubles
+    whose shuffle-order-dependent sums may differ in the last ulp
+    between a resumed and an uninterrupted run, so equality is
+    allclose (1e-12 — far inside the rule's 1e-6) rather than
+    bit-for-bit; vertex sets must match exactly."""
+    import duckdb
+
+    common = [
+        "--synthesize", "--n-files", "300", "--checkpoint-every", "1",
+        "--num-iters", "6", "--strategy", "auto",
+    ]
+    _submit_and_kill_after_first_checkpoint(
+        tmp_path, "pagerank", *common,
+        "--output", str(tmp_path / "dead"),
+        "--run-dir", str(tmp_path / "pr_ckpt"),
+    )
+    res = _submit(
+        tmp_path, "pagerank", *common,
+        "--output", str(tmp_path / "resumed"),
+        "--run-dir", str(tmp_path / "pr_ckpt"),
+    )
+    assert res["job"] == "pagerank" and res["resumed_from"] >= 0
+    assert res["supersteps"] == 6 - (res["resumed_from"] + 1)
+    ref = _submit(
+        tmp_path, "pagerank", *common,
+        "--output", str(tmp_path / "reference"),
+        "--run-dir", str(tmp_path / "pr_ckpt_ref"),
+    )
+    assert ref["resumed_from"] == -1
+    n_a, n_b, n_joined, max_diff = duckdb.sql(
+        f"select (select count(*) from '{tmp_path}/resumed/*.parquet'), "
+        f"(select count(*) from '{tmp_path}/reference/*.parquet'), "
+        f"count(*), max(abs(a.rank - b.rank)) "
+        f"from '{tmp_path}/resumed/*.parquet' a "
+        f"join '{tmp_path}/reference/*.parquet' b using (id)"
+    ).fetchone()
+    assert n_a == n_b == n_joined  # identical vertex sets
+    assert max_diff <= 1e-12, f"resumed ranks diverge: max abs diff {max_diff}"
+
+
 def test_submit_ann_index_partitioned_by_cell(tmp_path):
     """ann-index writes the IVF-assigned table partitioned by cell —
     the partition layout that makes an ANN probe a pruned read."""
