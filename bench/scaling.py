@@ -10,7 +10,8 @@ BENCH/BASELINE.md with throughput at both levels and the computed
 efficiency, and prints one JSON line.
 
 Usage: python bench/scaling.py [--edges 20000000] [--vertices 2000000]
-       [--iters 10] [--levels 8,32] [--strategy bhj] [--algo pagerank|cc|lp]
+       [--iters 10] [--levels 8,32] [--strategy bhj]
+       [--algo pagerank|cc|cc_star|lp|triangles]
 """
 
 from __future__ import annotations
@@ -48,6 +49,28 @@ if algo == "lp":
     from pyspark.sql import functions as F
     g = Graph(g.vertices.withColumn("lang", (F.col("id") % 64).cast("string")), g.edges)
 g.persist(); g.count_nodes(); g.count_edges()
+if algo == "triangles":
+    # one-shot job, not a superstep loop: run it twice on the warmed
+    # input cache and report the second run as steady state (run 1
+    # pays python-worker spin-up / codegen, exactly like the WARM
+    # supersteps below). edges_per_sec = input edges / steady wall.
+    from quiver_spark.algorithms import triangle_count
+    walls = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        n_tri = triangle_count(g)
+        walls.append(time.monotonic() - t0)
+    print("RESULT " + json.dumps({
+        "cores": cores, "strategy": "degree-oriented", "algo": algo,
+        "wall_sec": round(sum(walls), 3), "supersteps": 2, "warmup_supersteps": 1,
+        "steady_wall_sec": round(walls[-1], 3),
+        "supersteps_per_sec": round(1 / walls[-1], 4),
+        "edges_per_sec": round(n_e / walls[-1], 1),
+        "wall_per_superstep_ms": [round(w * 1000, 1) for w in walls],
+        "triangles": n_tri,
+    }))
+    spark.stop()
+    raise SystemExit(0)
 t0 = time.monotonic()
 if algo == "pagerank":
     res = pagerank(g, num_iters=iters, strategy=strat, n_blocks=NB)
@@ -111,9 +134,11 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--strategy", default="csr_bcast")
-    ap.add_argument("--algo", default="pagerank", choices=["pagerank", "cc", "cc_star", "lp"])
+    ap.add_argument("--algo", default="pagerank", choices=["pagerank", "cc", "cc_star", "lp", "triangles"])
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
+    if args.algo == "triangles":
+        args.strategy = "degree-oriented"  # single physical plan; the flag is superstep-tier only
     # verify the deferred import NOW, not 40 min from now
     from quiver_spark import boxprobe as _probe  # noqa: F401
 
