@@ -11,7 +11,13 @@ efficiency, and prints one JSON line.
 
 Usage: python bench/scaling.py [--edges 20000000] [--vertices 2000000]
        [--iters 10] [--levels 8,32] [--strategy bhj]
-       [--algo pagerank|cc|cc_star|lp|triangles]
+       [--algo pagerank|cc|cc_star|lp|triangles|ingest|neardup]
+
+One-shot modes (triangles / ingest / neardup) run the job twice per
+level and report run 2 as steady state; for the doc-corpus modes
+(ingest, neardup) --edges is the ROW count and the input is the
+synthetic repo table written to parquet once (generation excluded
+from the measured wall).
 """
 
 from __future__ import annotations
@@ -43,34 +49,82 @@ cores = int(sys.argv[1]); n_v = int(sys.argv[2]); n_e = int(sys.argv[3]); iters 
 NB = int(os.environ.get("SCALING_BLOCKS", "64"))
 spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=NB)
 spark.sparkContext.setLogLevel("ERROR")
+
+
+def oneshot(job, n_units, strategy_label, clear_cache=False):
+    # one-shot job, not a superstep loop: run it twice and report the
+    # second run as steady state (run 1 pays python-worker spin-up /
+    # codegen, exactly like the WARM supersteps below).
+    # clear_cache: jobs that persist-and-LEAVE internal frames (e.g.
+    # ingest's slim scan) would hand run 2 a cached suffix of the
+    # pipeline — clear between runs so run 2 re-executes everything
+    # warm. Jobs that unpersist their own internals (triangle_count)
+    # keep their input cache instead.
+    walls = []
+    out = None
+    for i in range(2):
+        t0 = time.monotonic()
+        out = job()
+        walls.append(time.monotonic() - t0)
+        if clear_cache and i == 0:
+            spark.catalog.clearCache()
+    print("RESULT " + json.dumps({
+        "cores": cores, "strategy": strategy_label, "algo": algo,
+        "wall_sec": round(sum(walls), 3), "supersteps": 2, "warmup_supersteps": 1,
+        "steady_wall_sec": round(walls[-1], 3),
+        "supersteps_per_sec": round(1 / walls[-1], 4),
+        "edges_per_sec": round(n_units / walls[-1], 1),
+        "wall_per_superstep_ms": [round(w * 1000, 1) for w in walls],
+        "job_output": out,
+    }))
+    spark.stop()
+    raise SystemExit(0)
+
+
+if algo in ("ingest", "neardup"):
+    # doc-corpus one-shots. --edges is repurposed as the row count
+    # (n_e files/docs); the corpus is the deterministic synthetic repo
+    # table, written to parquet ONCE so the measured job starts from
+    # storage exactly like a 100 TB run (generation excluded).
+    corpus = os.path.join(os.environ.get("SCALING_TMP", "/tmp"), f"scaling_corpus_{n_e}.parquet")
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        ing.synthesize_repo_table(
+            spark, n_files=n_e, n_repos=max(50, n_e // 1000), seed=42, num_partitions=NB,
+        ).write.mode("overwrite").parquet(corpus)
+    repos = spark.read.parquet(corpus)
+    if algo == "ingest":
+        # ingest() persists-and-leaves the slim scan -> clear_cache so
+        # run 2 re-executes the content scan too. rows/s = files/s.
+        def job():
+            g2 = ing.ingest(repos)
+            return {"nodes": g2.count_nodes(), "edges": g2.count_edges()}
+        oneshot(job, n_e, "one-content-scan", clear_cache=True)
+    else:
+        from quiver_spark import dedup
+        docs = repos.selectExpr(
+            "concat(repo, '/', path, '@', commit) as doc_id", "content as text"
+        )
+        # ~15% of rows are 2nd commits of the previous file (2 of ~8
+        # lines differ -> true near-dups); minhash->LSH->verify at
+        # threshold 0.5 finds them without an all-pairs join.
+        oneshot(
+            lambda: {"pairs": dedup.near_duplicate_pairs(docs, threshold=0.5).count()},
+            n_e, "minhash-lsh", clear_cache=True,
+        )
+
 edges = ing.synthesize_powerlaw_edges(spark, n_vertices=n_v, n_edges=n_e, seed=42)
 g = Graph.from_edges(edges)
 if algo == "lp":
     from pyspark.sql import functions as F
     g = Graph(g.vertices.withColumn("lang", (F.col("id") % 64).cast("string")), g.edges)
 g.persist(); g.count_nodes(); g.count_edges()
+
 if algo == "triangles":
-    # one-shot job, not a superstep loop: run it twice on the warmed
-    # input cache and report the second run as steady state (run 1
-    # pays python-worker spin-up / codegen, exactly like the WARM
-    # supersteps below). edges_per_sec = input edges / steady wall.
+    # input graph cache stays warm across both runs (triangle_count
+    # unpersists its own internals, so run 2 re-executes the full
+    # wedge pipeline). edges_per_sec = input edges / steady wall.
     from quiver_spark.algorithms import triangle_count
-    walls = []
-    for _ in range(2):
-        t0 = time.monotonic()
-        n_tri = triangle_count(g)
-        walls.append(time.monotonic() - t0)
-    print("RESULT " + json.dumps({
-        "cores": cores, "strategy": "degree-oriented", "algo": algo,
-        "wall_sec": round(sum(walls), 3), "supersteps": 2, "warmup_supersteps": 1,
-        "steady_wall_sec": round(walls[-1], 3),
-        "supersteps_per_sec": round(1 / walls[-1], 4),
-        "edges_per_sec": round(n_e / walls[-1], 1),
-        "wall_per_superstep_ms": [round(w * 1000, 1) for w in walls],
-        "triangles": n_tri,
-    }))
-    spark.stop()
-    raise SystemExit(0)
+    oneshot(lambda: triangle_count(g), n_e, "degree-oriented")
 t0 = time.monotonic()
 if algo == "pagerank":
     res = pagerank(g, num_iters=iters, strategy=strat, n_blocks=NB)
@@ -134,11 +188,17 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--strategy", default="csr_bcast")
-    ap.add_argument("--algo", default="pagerank", choices=["pagerank", "cc", "cc_star", "lp", "triangles"])
+    ap.add_argument(
+        "--algo", default="pagerank",
+        choices=["pagerank", "cc", "cc_star", "lp", "triangles", "ingest", "neardup"],
+    )
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
-    if args.algo == "triangles":
-        args.strategy = "degree-oriented"  # single physical plan; the flag is superstep-tier only
+    # one-shot modes have a single physical plan; --strategy is
+    # superstep-tier only. For doc modes --edges is the row count.
+    _ONESHOT_LABEL = {"triangles": "degree-oriented", "ingest": "one-content-scan", "neardup": "minhash-lsh"}
+    if args.algo in _ONESHOT_LABEL:
+        args.strategy = _ONESHOT_LABEL[args.algo]
     # verify the deferred import NOW, not 40 min from now
     from quiver_spark import boxprobe as _probe  # noqa: F401
 
@@ -179,9 +239,12 @@ def main() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
-            f"\n## {args.algo} scaling run ({args.edges:,} edges, {args.vertices:,} vertices, "
-            f"{r_lo['supersteps']} supersteps, strategy={args.strategy})\n\n"
-            f"| parallelism | wall (s) | supersteps/sec | edges/sec |\n|---|---|---|---|\n"
+            f"\n## {args.algo} scaling run ({args.edges:,} "
+            f"{'rows' if args.algo in ('ingest', 'neardup') else 'edges'}, "
+            + ("" if args.algo in ("ingest", "neardup") else f"{args.vertices:,} vertices, ")
+            + f"{r_lo['supersteps']} supersteps, strategy={args.strategy})\n\n"
+            f"| parallelism | wall (s) | supersteps/sec | "
+            f"{'rows' if args.algo in ('ingest', 'neardup') else 'edges'}/sec |\n|---|---|---|---|\n"
             f"| local[{lo}] | {r_lo['wall_sec']} | {r_lo['supersteps_per_sec']} | {r_lo['edges_per_sec']:,} |\n"
             f"| local[{hi}] | {r_hi['wall_sec']} | {r_hi['supersteps_per_sec']} | {r_hi['edges_per_sec']:,} |\n\n"
             f"scaling efficiency (throughput@{hi} / throughput@{lo}) / {factor:g} = **{eff:.3f}** "
