@@ -163,13 +163,20 @@ spark.stop()
 """
 
 
-def run_level(cores: int, n_v: int, n_e: int, iters: int, strategy: str = "smj", algo: str = "pagerank") -> dict:
+def run_level(cores: int, n_v: int, n_e: int, iters: int, strategy: str = "smj", algo: str = "pagerank", pin: bool = False) -> dict:
     env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     # the box has 128 GiB; a GC-bound heap would corrupt the scaling
     # measurement (memory pressure, not cores, would set the wall)
     env.setdefault("SPARK_DRIVER_MEM", "24g")
+    # pin=True runs the level under `taskset -c 0-(N-1)`: local[N]
+    # bounds TASK slots but not JVM GC/shuffle-IO threads or the
+    # python workers that run concurrently with the JVM side of an
+    # Arrow exchange — a measured local[2] ingest burned 300-350% CPU,
+    # deflating the 2->8 ratio. Affinity makes "N cores" mean N cores,
+    # exactly like a cgroup-limited executor on a real cluster.
+    prefix = ["taskset", "-c", f"0-{cores - 1}"] if pin else []
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(cores), str(n_v), str(n_e), str(iters), strategy, algo],
+        prefix + [sys.executable, "-c", _CHILD, str(cores), str(n_v), str(n_e), str(iters), strategy, algo],
         capture_output=True,
         text=True,
         env=env,
@@ -188,6 +195,7 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--strategy", default="csr_bcast")
+    ap.add_argument("--pin", action="store_true", help="taskset each level to exactly N cores (cgroup-executor emulation)")
     ap.add_argument(
         "--algo", default="pagerank",
         choices=["pagerank", "cc", "cc_star", "lp", "triangles", "ingest", "neardup"],
@@ -204,9 +212,9 @@ def main() -> None:
 
     # echo each level's raw measurement the moment it lands: a crash
     # anywhere downstream must never lose a completed ~20-min run
-    r_lo = run_level(lo, args.vertices, args.edges, args.iters, args.strategy, args.algo)
+    r_lo = run_level(lo, args.vertices, args.edges, args.iters, args.strategy, args.algo, pin=args.pin)
     print("LEVEL " + json.dumps(r_lo), flush=True)
-    r_hi = run_level(hi, args.vertices, args.edges, args.iters, args.strategy, args.algo)
+    r_hi = run_level(hi, args.vertices, args.edges, args.iters, args.strategy, args.algo, pin=args.pin)
     print("LEVEL " + json.dumps(r_hi), flush=True)
     factor = hi / lo
     eff = (r_hi["edges_per_sec"] / r_lo["edges_per_sec"]) / factor
@@ -231,6 +239,7 @@ def main() -> None:
         "high": r_hi,
         "n_vertices": args.vertices,
         "n_edges": args.edges,
+        "pinned": args.pin,
         "target": 0.8,
         "pass": eff >= 0.8,
     }
@@ -242,7 +251,8 @@ def main() -> None:
             f"\n## {args.algo} scaling run ({args.edges:,} "
             f"{'rows' if args.algo in ('ingest', 'neardup') else 'edges'}, "
             + ("" if args.algo in ("ingest", "neardup") else f"{args.vertices:,} vertices, ")
-            + f"{r_lo['supersteps']} supersteps, strategy={args.strategy})\n\n"
+            + f"{r_lo['supersteps']} supersteps, strategy={args.strategy}"
+            + (", CPU-pinned levels" if args.pin else "") + ")\n\n"
             f"| parallelism | wall (s) | supersteps/sec | "
             f"{'rows' if args.algo in ('ingest', 'neardup') else 'edges'}/sec |\n|---|---|---|---|\n"
             f"| local[{lo}] | {r_lo['wall_sec']} | {r_lo['supersteps_per_sec']} | {r_lo['edges_per_sec']:,} |\n"
