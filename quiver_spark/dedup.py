@@ -161,9 +161,28 @@ def jaccard_verify(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact shingle-set jaccard on candidate pairs → (a, b, jaccard)
-    for pairs ≥ threshold. Joins the (small) candidate table to the
-    shingle arrays twice; arrays deduped via array_distinct."""
-    sh = df.select(F.col(id_col), F.array_distinct(shingles(text_col, k_shingle)).alias("_s"))
+    for pairs ≥ threshold. Shingles are computed for CANDIDATE docs
+    only (semi-join first) and cached for both join sides; arrays
+    deduped via array_distinct."""
+    # only candidate docs need exact shingle sets — semi-join the
+    # corpus down to ids that appear in any pair, shingle those ONCE,
+    # and cache the result for both join sides. Without this the
+    # corpus is shingled twice more here (once per side) on top of
+    # minhash's pass: 3 full shingle scans -> 1 full + 1 candidates-
+    # only. pairs is persisted because it now has three consumers
+    # (id union + both joins); like ingest's slim scan the cache is
+    # candidate-sized and left to the caller's cache lifecycle.
+    pairs = pairs.persist()
+    cand_ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .unionByName(pairs.select(F.col("b").alias(id_col)))
+        .dropDuplicates()
+    )
+    sh = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), F.array_distinct(shingles(text_col, k_shingle)).alias("_s"))
+        .persist()
+    )
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("_s", "_sa"), "a")
         .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("_s", "_sb"), "b")

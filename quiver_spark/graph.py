@@ -115,10 +115,16 @@ class Graph:
         return cls(v, e)
 
     @classmethod
-    def safe_mk_graph(cls, vertices: DataFrame, edges: DataFrame) -> Graph:
+    def safe_mk_graph(cls, vertices: DataFrame, edges: DataFrame, ids_unique: bool = False) -> Graph:
         """quiver ``safeMkGraph`` [pub: package.scala#safeMkGraph]:
-        silently drop dangling edges (double left-semi join)."""
-        v = vertices.dropDuplicates(["id"])
+        silently drop dangling edges (double left-semi join).
+
+        ids_unique=True: the caller warrants vertex ids are already
+        distinct, skipping the dedup shuffle. With a persisted vertex
+        frame this makes BOTH semi-joins (and any later vertex read)
+        cache hits instead of re-running the vertex pipeline — ingest
+        at 1M files recomputed it 3x before this seam."""
+        v = vertices if ids_unique else vertices.dropDuplicates(["id"])
         g = cls(v, edges)
         e = g._dedup_edges(edges)
         vids = v.select("id")

@@ -333,9 +333,13 @@ def ingest(repos: DataFrame) -> Graph:
     metadata-sized (no content), so the cache is safe at any scale.
     """
     slim = slim_scan(repos).persist()
-    v = file_vertices(slim).unionByName(dir_vertices(slim)).dropDuplicates(["id"])
+    # the deduped vertex table is consumed three times (both
+    # referential semi-joins + every later vertex read) — persist it
+    # and warrant uniqueness so safe_mk_graph doesn't re-shuffle it
+    # per consumer. Metadata-sized (id, label), safe at any scale.
+    v = file_vertices(slim).unionByName(dir_vertices(slim)).dropDuplicates(["id"]).persist()
     e = contains_edges(slim).unionByName(imports_edges(slim))
-    return Graph.safe_mk_graph(v, e)
+    return Graph.safe_mk_graph(v, e, ids_unique=True)
 
 
 def verify_content_sha(repos: DataFrame, vertices: DataFrame) -> int:

@@ -28,6 +28,10 @@ def test_mk_graph_dedup_and_validation(spark):
         Graph.mk_graph(V, bad)
     safe = Graph.safe_mk_graph(V, E.unionByName(bad))
     assert safe.count_edges() == 1  # dangling dropped silently
+    # ids_unique fast path: caller-warranted distinct ids, same result
+    Vu = V.dropDuplicates(["id"])
+    fast = Graph.safe_mk_graph(Vu, E.unionByName(bad), ids_unique=True)
+    assert fast.count_nodes() == 2 and fast.count_edges() == 1
 
 
 def test_multigraph_set_semantics(multi_edges):
