@@ -234,9 +234,17 @@ def file_vertices(slim: DataFrame) -> DataFrame:
     return newest
 
 
-def dir_vertices(slim: DataFrame) -> DataFrame:
+def distinct_files(slim: DataFrame) -> DataFrame:
+    """Distinct (repo, path) — the multi-commit rows collapse. Three
+    ingest products consume this (dir vertices, contains edges, import
+    targets); :func:`ingest` computes it ONCE and passes it in so the
+    8M+-row dedup shuffle isn't re-executed per consumer."""
+    return slim.select("repo", "path").dropDuplicates()
+
+
+def dir_vertices(slim: DataFrame, files: DataFrame | None = None) -> DataFrame:
     """One vertex per distinct (repo, dir prefix); lang/content NULL."""
-    files = slim.select("repo", "path").dropDuplicates()
+    files = files if files is not None else distinct_files(slim)
     # explode every proper prefix of the dir chain
     segs = files.withColumn("parts", F.split("path", "/"))
     prefixes = segs.select(
@@ -257,11 +265,11 @@ def dir_vertices(slim: DataFrame) -> DataFrame:
     )
 
 
-def contains_edges(slim: DataFrame) -> DataFrame:
+def contains_edges(slim: DataFrame, files: DataFrame | None = None) -> DataFrame:
     """dir→child edges: every adjacent (prefix, longer-prefix) pair of
     each path, plus dir→file. etype=contains, commit NULL (structure,
     not a commit-scoped fact)."""
-    files = slim.select("repo", "path").dropDuplicates()
+    files = files if files is not None else distinct_files(slim)
     segs = files.withColumn("parts", F.split("path", "/"))
     pairs = segs.select(
         "repo",
@@ -293,7 +301,7 @@ def _extract_imports(content: pd.Series) -> pd.Series:
     return content.map(lambda c: [{"trepo": m[0], "tstem": m[1]} for m in rx.findall(c or "")])
 
 
-def imports_edges(slim: DataFrame) -> DataFrame:
+def imports_edges(slim: DataFrame, files: DataFrame | None = None) -> DataFrame:
     """file→file edges, one per import statement per commit: parallel
     labeled edges across commits survive (multigraph Set[B]). Imports
     were already extracted by :func:`slim_scan`."""
@@ -309,8 +317,7 @@ def imports_edges(slim: DataFrame) -> DataFrame:
     )
     # resolve targets: join on (repo, file stem)
     targets = (
-        slim.select("repo", "path")
-        .dropDuplicates()
+        (files if files is not None else distinct_files(slim))
         .select(
             F.col("repo").alias("trepo"),
             F.regexp_extract(F.element_at(F.split("path", "/"), -1), r"^(f\d+)\.", 1).alias("tstem"),
@@ -333,12 +340,20 @@ def ingest(repos: DataFrame) -> Graph:
     metadata-sized (no content), so the cache is safe at any scale.
     """
     slim = slim_scan(repos).persist()
+    # distinct (repo, path) is consumed by three products — compute
+    # (and shuffle) it once. (path, repo)-sized, safe at any scale.
+    files = distinct_files(slim).persist()
     # the deduped vertex table is consumed three times (both
     # referential semi-joins + every later vertex read) — persist it
     # and warrant uniqueness so safe_mk_graph doesn't re-shuffle it
     # per consumer. Metadata-sized (id, label), safe at any scale.
-    v = file_vertices(slim).unionByName(dir_vertices(slim)).dropDuplicates(["id"]).persist()
-    e = contains_edges(slim).unionByName(imports_edges(slim))
+    v = (
+        file_vertices(slim)
+        .unionByName(dir_vertices(slim, files))
+        .dropDuplicates(["id"])
+        .persist()
+    )
+    e = contains_edges(slim, files).unionByName(imports_edges(slim, files))
     return Graph.safe_mk_graph(v, e, ids_unique=True)
 
 
