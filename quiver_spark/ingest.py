@@ -40,7 +40,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -212,7 +212,7 @@ def slim_scan(repos: DataFrame) -> DataFrame:
         "commit",
         "lang",
         F.sha2("content", 256).alias("content_sha"),
-        _extract_imports("content").alias("imps"),
+        _extract_imports_expr("content").alias("imps"),
     )
 
 
@@ -291,10 +291,34 @@ def contains_edges(slim: DataFrame, files: DataFrame | None = None) -> DataFrame
     ).dropDuplicates()
 
 
+def _extract_imports_expr(content: str) -> Column:
+    """Import extraction INSIDE whole-stage codegen: regexp_extract_all
+    over the content bytes, then per-match group parsing on the short
+    hit strings. The stage-level attribution run (BENCH/BASELINE.md,
+    bench/ingest_attrib_r4.json) measured the previous Arrow-batched
+    Python version as half the engine's concurrency-scaling loss — the
+    IPC copy of EVERY content byte to the Python worker plus the
+    Python regex CPU inflated the content-scan stage +76% at 8-way
+    concurrency on a shared-DRAM box. The JVM expression ships zero
+    bytes out of the JVM and frees the Python workers entirely; the
+    retired pandas UDF survives as :func:`_extract_imports_arrow`, the
+    parity reference the tests compare against."""
+    return F.transform(
+        F.regexp_extract_all(F.col(content), F.lit(_IMPORT_RE), F.lit(0)),
+        lambda s: F.struct(
+            F.regexp_extract(s, _IMPORT_RE, 1).alias("trepo"),
+            F.regexp_extract(s, _IMPORT_RE, 2).alias("tstem"),
+        ),
+    )
+
+
 @F.pandas_udf(T.ArrayType(T.StructType([T.StructField("trepo", T.StringType()), T.StructField("tstem", T.StringType())])))
-def _extract_imports(content: pd.Series) -> pd.Series:
-    """Vectorized import extraction (the only Python in the ingest
-    path — Arrow-batched pandas UDF per BASELINE.json:15)."""
+def _extract_imports_arrow(content: pd.Series) -> pd.Series:
+    """Arrow-batched reference implementation of import extraction.
+    Retired from the hot path in favor of :func:`_extract_imports_expr`
+    (see its docstring for the measured reason); kept as the
+    independent implementation the extraction-parity test runs both
+    ways."""
     import re
 
     rx = re.compile(_IMPORT_RE)

@@ -102,3 +102,19 @@ def test_power_law_skew(graph):
     )
     stats = indeg.agg(F.max("count").alias("mx"), F.expr("percentile_approx(count, 0.5)").alias("med")).collect()[0]
     assert stats["mx"] >= 10 * stats["med"]
+
+
+def test_import_extraction_jvm_matches_arrow_reference(spark, repos):
+    """The codegen regexp_extract_all path (hot path since the round-4
+    attribution run showed the Arrow IPC copy of content was half the
+    engine's concurrency-scaling loss) must extract the exact same
+    import list, in order, as the retired pandas-UDF reference —
+    including rows with zero imports (empty array, not null)."""
+    jvm = repos.select("repo", "path", "commit", ing._extract_imports_expr("content").alias("imps"))
+    ref = repos.select("repo", "path", "commit", ing._extract_imports_arrow("content").alias("imps"))
+    sym = jvm.exceptAll(ref).unionByName(ref.exceptAll(jvm))
+    assert sym.count() == 0
+    # non-degenerate fixture: some rows import, and empties are []
+    n_with = jvm.filter(F.size("imps") > 0).count()
+    assert 0 < n_with < repos.count()
+    assert jvm.filter(F.col("imps").isNull()).count() == 0
