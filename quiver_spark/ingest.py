@@ -242,20 +242,32 @@ def distinct_files(slim: DataFrame) -> DataFrame:
     return slim.select("repo", "path").dropDuplicates()
 
 
-def dir_vertices(slim: DataFrame, files: DataFrame | None = None) -> DataFrame:
-    """One vertex per distinct (repo, dir prefix); lang/content NULL."""
-    files = files if files is not None else distinct_files(slim)
-    # explode every proper prefix of the dir chain
+def _prefix_pairs(files: DataFrame) -> DataFrame:
+    """Explode every adjacent (prefix, longer-prefix) pair of each
+    path: (repo, parent, child), NOT deduped. One narrow explode feeds
+    both structure products — dir vertices are the distinct parents
+    (parents range over proper prefixes 1..n-1, exactly the dir set),
+    contains edges are the distinct hashed pairs. Shared so ingest
+    explodes the path chains once instead of twice."""
     segs = files.withColumn("parts", F.split("path", "/"))
-    prefixes = segs.select(
+    return segs.select(
         "repo",
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("parts") - 1),
-                lambda i: F.array_join(F.slice("parts", F.lit(1), i), "/"),
+                lambda i: F.struct(
+                    F.array_join(F.slice("parts", F.lit(1), i), "/").alias("parent"),
+                    F.array_join(F.slice("parts", F.lit(1), i + 1), "/").alias("child"),
+                ),
             )
-        ).alias("path"),
-    ).dropDuplicates()
+        ).alias("pc"),
+    ).select("repo", "pc.parent", "pc.child")
+
+
+def dir_vertices(slim: DataFrame, files: DataFrame | None = None) -> DataFrame:
+    """One vertex per distinct (repo, dir prefix); lang/content NULL."""
+    files = files if files is not None else distinct_files(slim)
+    prefixes = _prefix_pairs(files).select("repo", F.col("parent").alias("path")).dropDuplicates()
     return prefixes.select(
         F.xxhash64("repo", "path").alias("id"),
         "repo",
@@ -268,27 +280,24 @@ def dir_vertices(slim: DataFrame, files: DataFrame | None = None) -> DataFrame:
 def contains_edges(slim: DataFrame, files: DataFrame | None = None) -> DataFrame:
     """dir→child edges: every adjacent (prefix, longer-prefix) pair of
     each path, plus dir→file. etype=contains, commit NULL (structure,
-    not a commit-scoped fact)."""
+    not a commit-scoped fact). Deduped ONCE, after hashing — one
+    shuffle over two longs per row instead of the former two (string
+    pairs, then hashed rows)."""
     files = files if files is not None else distinct_files(slim)
-    segs = files.withColumn("parts", F.split("path", "/"))
-    pairs = segs.select(
-        "repo",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("parts") - 1),
-                lambda i: F.struct(
-                    F.array_join(F.slice("parts", F.lit(1), i), "/").alias("parent"),
-                    F.array_join(F.slice("parts", F.lit(1), i + 1), "/").alias("child"),
-                ),
-            )
-        ).alias("pc"),
-    ).select("repo", "pc.parent", "pc.child").dropDuplicates()
-    return pairs.select(
-        F.xxhash64("repo", "parent").alias("src"),
-        F.xxhash64("repo", "child").alias("dst"),
-        F.lit("contains").alias("etype"),
-        F.lit(None).cast("string").alias("commit"),
-    ).dropDuplicates()
+    return (
+        _prefix_pairs(files)
+        .select(
+            F.xxhash64("repo", "parent").alias("src"),
+            F.xxhash64("repo", "child").alias("dst"),
+        )
+        .dropDuplicates()
+        .select(
+            "src",
+            "dst",
+            F.lit("contains").alias("etype"),
+            F.lit(None).cast("string").alias("commit"),
+        )
+    )
 
 
 def _extract_imports_expr(content: str) -> Column:
