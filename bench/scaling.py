@@ -219,14 +219,22 @@ def main() -> None:
     _ONESHOT_LABEL = {"triangles": "degree-oriented", "ingest": "one-content-scan", "neardup": "minhash-lsh"}
     if args.algo in _ONESHOT_LABEL:
         args.strategy = _ONESHOT_LABEL[args.algo]
-    # verify the deferred import NOW, not 40 min from now
-    from quiver_spark import boxprobe as _probe  # noqa: F401
+    from quiver_spark.boxprobe import box_control as _box_control
 
     # echo each level's raw measurement the moment it lands: a crash
-    # anywhere downstream must never lose a completed ~20-min run
+    # anywhere downstream must never lose a completed ~20-min run.
+    # A box-control probe runs immediately BEFORE each level: one
+    # end-of-run control cannot say WHICH level a busy box poisoned
+    # (an 8M ingest run recorded 0.542 because the high level ran on
+    # a box that the trailing control then measured at ratio 1.361 —
+    # with its steady run slower than its own warmup).
+    pre_lo = _box_control()
     r_lo = run_level(lo, args.vertices, args.edges, args.iters, args.strategy, args.algo, pin=args.pin, mem_per_core_gb=args.mem_per_core)
+    r_lo["box_control_pre"] = pre_lo
     print("LEVEL " + json.dumps(r_lo), flush=True)
+    pre_hi = _box_control()
     r_hi = run_level(hi, args.vertices, args.edges, args.iters, args.strategy, args.algo, pin=args.pin, mem_per_core_gb=args.mem_per_core)
+    r_hi["box_control_pre"] = pre_hi
     print("LEVEL " + json.dumps(r_hi), flush=True)
     factor = hi / lo
     eff = (r_hi["edges_per_sec"] / r_lo["edges_per_sec"]) / factor
@@ -276,7 +284,9 @@ def main() -> None:
             f"(target ≥ 0.8 → {'PASS' if eff >= 0.8 else 'FAIL'})\n\n"
             f"box control: {result['box_control']['box_control_sec']} s "
             f"(ref {result['box_control']['box_control_ref_sec']} s, "
-            f"ratio {result['box_control']['box_control_ratio']})\n"
+            f"ratio {result['box_control']['box_control_ratio']}); "
+            f"pre-level controls: {pre_lo['box_control_ratio']} @local[{lo}], "
+            f"{pre_hi['box_control_ratio']} @local[{hi}]\n"
         )
 
 
