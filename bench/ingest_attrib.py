@@ -16,7 +16,8 @@ Usage: python bench/ingest_attrib.py [--rows 8000000] [--levels 2,8]
        [--mem-per-core 3]
 
 Prints one JSON line per level plus a merged attribution table, and
-leaves raw per-stage CSVs in bench/.
+writes the full artifact (summary + merged + raw per-stage rows) to
+bench/ingest_attrib_r4.json.
 """
 
 from __future__ import annotations
@@ -210,7 +211,7 @@ def main() -> None:
     print(json.dumps(summary))
     for r in rows:
         print(json.dumps(r))
-    with open("bench/ingest_attrib_r4.json", "w") as f:
+    with open(os.path.join(_ROOT, "bench", "ingest_attrib_r4.json"), "w") as f:
         json.dump({"summary": summary, "stages": rows,
                    "raw": {str(c): results[c]["stages"] for c in (lo, hi)}}, f, indent=1)
     print("wrote bench/ingest_attrib_r4.json")

@@ -45,9 +45,15 @@ def run_occupancy(k: int) -> dict:
             stdout=subprocess.PIPE, text=True, env=env,
         ))
     walls = []
-    for p in procs:
+    for i, p in enumerate(procs):
         out, _ = p.communicate()
-        walls.append(json.loads(out.strip().splitlines()[-1])["box_control_sec"])
+        lines = (out or "").strip().splitlines()
+        if p.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"occupancy-{k} copy {i} (core {i}) failed "
+                f"(rc={p.returncode}); stdout: {out[-500:] if out else '<empty>'}"
+            )
+        walls.append(json.loads(lines[-1])["box_control_sec"])
     return {
         "occupancy": k,
         "per_copy_sec": walls,
@@ -62,8 +68,12 @@ def main() -> None:
     ap.add_argument("--record", action="store_true")
     args = ap.parse_args()
     ks = [int(x) for x in args.occupancies.split(",")]
+    if 1 not in ks:
+        # the headline column is "vs solo"; without a solo row the
+        # ratio would silently bake contention into its own baseline
+        ks = [1] + ks
     rows = [run_occupancy(k) for k in ks]
-    base = rows[0]["mean_sec"]
+    base = next(r["mean_sec"] for r in rows if r["occupancy"] == 1)
     for r in rows:
         r["per_core_throughput_vs_solo"] = round(base / r["mean_sec"], 3)
     result = {

@@ -246,12 +246,10 @@ def main() -> None:
         return statistics.median(r["wall_per_superstep_ms"][r["warmup_supersteps"]:])
 
     median_eff = (med(r_lo) / med(r_hi)) / factor
-    from quiver_spark.boxprobe import box_control  # fail-fast verified at launch
-
     result = {
         "metric": f"{args.algo}_scaling_efficiency",
         "strategy": args.strategy,
-        "box_control": box_control(),
+        "box_control": _box_control(),
         "value": round(eff, 3),
         "median_eff": round(median_eff, 3),
         "unit": f"throughput ratio / {factor:g}x cores",

@@ -244,20 +244,25 @@ def distinct_files(slim: DataFrame) -> DataFrame:
 
 def _prefix_pairs(files: DataFrame) -> DataFrame:
     """Explode every adjacent (prefix, longer-prefix) pair of each
-    path: (repo, parent, child), NOT deduped. One narrow explode feeds
-    both structure products — dir vertices are the distinct parents
-    (parents range over proper prefixes 1..n-1, exactly the dir set),
-    contains edges are the distinct hashed pairs. Shared so ingest
-    explodes the path chains once instead of twice."""
+    path: (repo, parent, child), NOT deduped — contains_edges dedups
+    once, AFTER hashing, so the only shuffle carries two longs per
+    row. A root-level path (no '/') has no proper prefix: the guard
+    leaves the pair array NULL and ``explode`` emits nothing (the
+    unguarded ``sequence(1, size-1)`` DESCENDS to [1, 0] for a
+    one-part path, fabricating a self-loop edge and an empty-string
+    dir whose xxhash64 id collides with the file's own id)."""
     segs = files.withColumn("parts", F.split("path", "/"))
     return segs.select(
         "repo",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("parts") - 1),
-                lambda i: F.struct(
-                    F.array_join(F.slice("parts", F.lit(1), i), "/").alias("parent"),
-                    F.array_join(F.slice("parts", F.lit(1), i + 1), "/").alias("child"),
+            F.when(
+                F.size("parts") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("parts") - 1),
+                    lambda i: F.struct(
+                        F.array_join(F.slice("parts", F.lit(1), i), "/").alias("parent"),
+                        F.array_join(F.slice("parts", F.lit(1), i + 1), "/").alias("child"),
+                    ),
                 ),
             )
         ).alias("pc"),
@@ -265,9 +270,29 @@ def _prefix_pairs(files: DataFrame) -> DataFrame:
 
 
 def dir_vertices(slim: DataFrame, files: DataFrame | None = None) -> DataFrame:
-    """One vertex per distinct (repo, dir prefix); lang/content NULL."""
+    """One vertex per distinct (repo, dir prefix); lang/content NULL.
+    Root-level paths contribute nothing (see :func:`_prefix_pairs` for
+    the guard rationale). Kept as its own parent-only explode rather
+    than a projection of :func:`_prefix_pairs`: the two products run
+    as separate actions off the cached ``files`` frame either way (no
+    cross-action subplan reuse), and Catalyst does not prune the
+    unused child strings out of the struct explode (verified on the
+    executed plan), so sharing would make THIS explode strictly
+    heavier, not cheaper."""
     files = files if files is not None else distinct_files(slim)
-    prefixes = _prefix_pairs(files).select("repo", F.col("parent").alias("path")).dropDuplicates()
+    segs = files.withColumn("parts", F.split("path", "/"))
+    prefixes = segs.select(
+        "repo",
+        F.explode(
+            F.when(
+                F.size("parts") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("parts") - 1),
+                    lambda i: F.array_join(F.slice("parts", F.lit(1), i), "/"),
+                ),
+            )
+        ).alias("path"),
+    ).dropDuplicates()
     return prefixes.select(
         F.xxhash64("repo", "path").alias("id"),
         "repo",
@@ -311,9 +336,12 @@ def _extract_imports_expr(content: str) -> Column:
     concurrency on a shared-DRAM box. The JVM expression ships zero
     bytes out of the JVM and frees the Python workers entirely; the
     retired pandas UDF survives as :func:`_extract_imports_arrow`, the
-    parity reference the tests compare against."""
+    parity reference the tests compare against. NULL content maps to
+    [] (coalesce), matching the reference's ``c or ""`` — without it
+    regexp_extract_all propagates NULL and the two paths diverge on
+    null rows."""
     return F.transform(
-        F.regexp_extract_all(F.col(content), F.lit(_IMPORT_RE), F.lit(0)),
+        F.regexp_extract_all(F.coalesce(F.col(content), F.lit("")), F.lit(_IMPORT_RE), F.lit(0)),
         lambda s: F.struct(
             F.regexp_extract(s, _IMPORT_RE, 1).alias("trepo"),
             F.regexp_extract(s, _IMPORT_RE, 2).alias("tstem"),

@@ -118,3 +118,40 @@ def test_import_extraction_jvm_matches_arrow_reference(spark, repos):
     n_with = jvm.filter(F.size("imps") > 0).count()
     assert 0 < n_with < repos.count()
     assert jvm.filter(F.col("imps").isNull()).count() == 0
+
+
+def test_root_paths_and_null_content(spark):
+    """Real-world repo tables (the mandated input shape) may contain
+    root-level paths (no '/') and NULL content. Root files must not
+    fabricate self-loop contains edges, empty-string dirs, or dir
+    vertices whose id collides with the file's own id (the unguarded
+    sequence(1, size-1) DESCENDS to [1, 0] for a one-part path); NULL
+    content must extract [] imports like the Arrow reference's
+    ``c or ""``."""
+    rows = [
+        ("repo_0001", "README.md", "c0", "md", None),
+        ("repo_0001", "src/f1.py", "c1", "py", "import repo_0001/f2\nx"),
+        ("repo_0001", "src/f2.py", "c2", "py", "y"),
+    ]
+    repos = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    g = ing.ingest(repos)
+    v = g.vertices.collect()
+    by_path = {r["path"]: r for r in v}
+    # the root file vertex survives with its metadata intact
+    assert by_path["README.md"]["lang"] == "md"
+    # no empty-string dir vertex, no dir duplicating the root file
+    assert "" not in by_path
+    assert sum(1 for r in v if r["path"] == "README.md") == 1
+    # exactly one dir vertex: src
+    dirs = [r for r in v if r["content_sha"] is None and r["lang"] is None]
+    assert [d["path"] for d in dirs] == ["src"]
+    # no self-loop edges anywhere
+    assert g.edges.filter(F.col("src") == F.col("dst")).count() == 0
+    # NULL content row extracted [] imports (not NULL): slim is stable
+    slim = ing.slim_scan(repos)
+    nulls = slim.filter(F.col("path") == "README.md").collect()[0]
+    assert nulls["imps"] == []
+    # and the import from f1 to f2 resolved
+    assert g.edges.filter(F.col("etype") == "imports").count() == 1
