@@ -277,7 +277,13 @@ def connected_components(
 
     try:
         # delta = #vertices that changed component; fixpoint at 0
-        return runner.run(state0, step, tol=None if fixed else 0.0, max_iters=total)
+        return runner.run(
+            state0,
+            step,
+            tol=None if fixed else 0.0,
+            max_iters=total,
+            job_key=f"cc:hashmin:strategy={strategy}:escalate_after={escalate_after}",
+        )
     finally:
         und.unpersist()
         if esc["pairs"] is not None:
@@ -309,6 +315,6 @@ def _two_phase_cc(graph: Graph, max_iters: int, runner: SuperstepRunner | None) 
         out._qs_checkpointed = True  # noqa: SLF001 — projection over the checkpoint
         return out, float(changed)
 
-    res = runner.run(state0, step, tol=0.0, max_iters=max_iters)
+    res = runner.run(state0, step, tol=0.0, max_iters=max_iters, job_key="cc:star")
     res.state = res.state.withColumnRenamed("parent", "component")
     return res

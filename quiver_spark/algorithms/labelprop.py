@@ -319,7 +319,13 @@ def label_propagation(
         return out, float(changed)
 
     try:
-        res = runner.run(state0, step, tol=None if fixed else 0.0, max_iters=total)
+        res = runner.run(
+            state0,
+            step,
+            tol=None if fixed else 0.0,
+            max_iters=total,
+            job_key=f"labelprop:label_col={label_col}:direction={direction}:strategy={strategy}",
+        )
         if strategy == "csr":
             # decode once, after the fixpoint (code -1 → null label)
             res.state = res.state.join(F.broadcast(label_dict), "code", "left").select(

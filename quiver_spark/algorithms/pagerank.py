@@ -422,7 +422,13 @@ def pagerank(
         return new_state, float(delta if delta is not None else 0.0)
 
     try:
-        result = runner.run(state0, step, tol=None if fixed else tol, max_iters=total_iters)
+        result = runner.run(
+            state0,
+            step,
+            tol=None if fixed else tol,
+            max_iters=total_iters,
+            job_key=f"pagerank:damping={damping}:strategy={strategy}",
+        )
     finally:
         for df in persisted:
             df.unpersist()

@@ -90,7 +90,12 @@ def triangle_count(graph: Graph) -> int:
 
 
 def triangles_per_vertex(graph: Graph) -> DataFrame:
-    """(id, triangles) for every vertex (0 for none)."""
+    """(id, triangles) for every vertex (0 for none).
+
+    The returned frame reads the persisted oriented-edge cache; it is
+    re-exposed as ``result._qs_oriented`` so callers can unpersist it
+    once the result is materialized (otherwise every call strands one
+    cached edge table for the session lifetime)."""
     t = _triangle_triples(graph)
     per = (
         t.select(F.col("x").alias("id"))
@@ -99,4 +104,6 @@ def triangles_per_vertex(graph: Graph) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    return graph.vertices.select("id").join(per, "id", "left").fillna(0, ["triangles"])
+    out = graph.vertices.select("id").join(per, "id", "left").fillna(0, ["triangles"])
+    out._qs_oriented = t._qs_oriented  # noqa: SLF001 — caller releases after materializing
+    return out

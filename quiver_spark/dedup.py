@@ -82,9 +82,15 @@ def minhash_signatures(
     One explode + one groupBy(id) with ``n_hashes`` min-aggregates —
     map-side combine keeps the shuffle at one row per (doc, 64 longs).
     Documents with fewer than k_shingle tokens get an empty signature
-    row (sig of nulls) and never collide.
+    row (sig of nulls) and never collide: the base hash is guarded to
+    NULL on the explode_outer placeholder row (Spark's ``xxhash64(NULL)``
+    returns the SEED, a non-null value — unguarded, every short doc
+    would share one identical signature and flood every LSH band with
+    bogus candidate pairs).
     """
-    h = F.pmod(F.xxhash64(F.col("_sh")), F.lit(_MERSENNE31))
+    h = F.when(
+        F.col("_sh").isNotNull(), F.pmod(F.xxhash64(F.col("_sh")), F.lit(_MERSENNE31))
+    )
     exploded = df.select(
         F.col(id_col), F.explode_outer(shingles(text_col, k_shingle)).alias("_sh")
     ).withColumn("_h", h)
@@ -109,6 +115,22 @@ def lsh_candidate_pairs(
     ``max_bucket`` are dropped (boilerplate guard — see module doc).
     """
     sig = sig_df.filter(F.col("sig")[0].isNotNull())
+    # misconfiguration guard: n_bands > len(sig) floors rows_per_band
+    # to 0, every band slice is empty, and ALL docs share one bucket
+    # per band — the quadratic self-join LSH exists to avoid. The
+    # signature length is data (array column), not schema, so the
+    # check runs per row inside the used path (one comparison/row).
+    sig = sig.withColumn(
+        "sig",
+        F.when(F.size("sig") >= F.lit(n_bands), F.col("sig")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"lsh_candidate_pairs: n_bands={n_bands} exceeds signature length "),
+                    F.size("sig").cast("string"),
+                )
+            )
+        ),
+    )
     rows_per_band = F.floor(F.size("sig") / F.lit(n_bands)).cast("int")
     bands = sig.select(
         F.col(id_col),
@@ -170,8 +192,9 @@ def jaccard_verify(
     # corpus is shingled twice more here (once per side) on top of
     # minhash's pass: 3 full shingle scans -> 1 full + 1 candidates-
     # only. pairs is persisted because it now has three consumers
-    # (id union + both joins); like ingest's slim scan the cache is
-    # candidate-sized and left to the caller's cache lifecycle.
+    # (id union + both joins); both caches are candidate-sized and
+    # re-exposed on the result (``_qs_caches``) so callers can release
+    # them after materializing.
     pairs = pairs.persist()
     cand_ids = (
         pairs.select(F.col("a").alias(id_col))
@@ -195,7 +218,9 @@ def jaccard_verify(
             ).alias("jaccard"),
         )
     )
-    return j.filter(F.col("jaccard") >= threshold)
+    out = j.filter(F.col("jaccard") >= threshold)
+    out._qs_caches = (pairs, sh)  # noqa: SLF001 — caller releases after materializing
+    return out
 
 
 def near_duplicate_pairs(

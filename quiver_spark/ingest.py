@@ -415,7 +415,23 @@ def ingest(repos: DataFrame) -> Graph:
         .persist()
     )
     e = contains_edges(slim, files).unionByName(imports_edges(slim, files))
-    return Graph.safe_mk_graph(v, e, ids_unique=True)
+    g = Graph.safe_mk_graph(v, e, ids_unique=True)
+    # expose the internal caches so long-lived sessions can reclaim
+    # them (see release_source_caches) — without a handle each ingest()
+    # call strands three cached frames until the session dies
+    g._qs_source_caches = (slim, files, v)  # noqa: SLF001
+    return g
+
+
+def release_source_caches(g: Graph) -> None:
+    """Unpersist the three internal frames :func:`ingest` caches.
+
+    Call AFTER materializing whatever you need from the graph (e.g.
+    ``g.persist()`` + a count, or a durable write) — the graph's vertex
+    and edge plans read these caches lazily, so releasing them earlier
+    just forces a recompute on the next action."""
+    for df in getattr(g, "_qs_source_caches", ()):  # noqa: SLF001
+        df.unpersist()
 
 
 def verify_content_sha(repos: DataFrame, vertices: DataFrame) -> int:

@@ -1275,7 +1275,11 @@ FROM o WHERE prev IS NOT NULL AND prev <> user_id
 GROUP BY 1, 2
 """,
     "doc_token_counts": r"""
-SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+-- CASE: DuckDB splits '' into [''] (len 1) while textops.tokens maps
+-- empty/whitespace-only text to [] (0 tokens); NULL stays NULL in both
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
 FROM documents
 """,
     "doc_quality_counts": r"""
@@ -1329,7 +1333,10 @@ WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id
 SELECT vec_id,
        CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) * 1e6 + 0.5) AS BIGINT) AS cos_e6
 FROM embeddings, q
-ORDER BY cos_e6 DESC, vec_id ASC
+-- tie-break on the RAW cosine, matching cosine_topk's orderBy(cos, id)
+-- (ordering by the rounded cos_e6 would keep a different row when two
+-- candidates at the k boundary round to the same 1e-6 bucket)
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) DESC, vec_id ASC
 LIMIT 10
 """,
     "emb_pairs_above": """

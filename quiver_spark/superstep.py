@@ -130,6 +130,41 @@ class SuperstepRunner:
                 f.write(json.dumps(m) + "\n")
 
     # ------------------------------------------------------------------
+    def _job_path(self) -> str:
+        return os.path.join(self.run_dir, "job.json")
+
+    def _check_resume_fingerprint(self, state0: DataFrame, job_key: str | None) -> None:
+        """Refuse to resume a run_dir that belongs to a different job.
+
+        ``last_completed()`` matches any ``_DONE_k=`` marker, so without
+        this check reusing one run_dir across algorithms (or across
+        parameterizations of the same algorithm) silently warm-starts
+        from FOREIGN state — e.g. connected_components reading a
+        pagerank checkpoint as its state0 and producing garbage.
+        ``job.json`` records the job key + state schema at fresh-start
+        time; a resume must match both. Run dirs written before
+        job.json existed fall back to a schema-only check.
+        """
+        fp = {"job_key": job_key, "state_schema": state0.schema.simpleString()}
+        recorded = None
+        if os.path.exists(self._job_path()):
+            with open(self._job_path()) as f:
+                recorded = json.load(f)
+        if recorded is None:
+            return
+        schema_ok = recorded.get("state_schema") == fp["state_schema"]
+        key_ok = (
+            recorded.get("job_key") is None
+            or job_key is None
+            or recorded["job_key"] == job_key
+        )
+        if not (schema_ok and key_ok):
+            raise ValueError(
+                f"run_dir {self.run_dir!r} holds checkpoints for a different job: "
+                f"recorded {recorded}, requested {fp}. Use a fresh run_dir, or "
+                f"resume=False to restart in place."
+            )
+
     def run(
         self,
         state0: DataFrame,
@@ -137,6 +172,7 @@ class SuperstepRunner:
         tol: float | None = None,
         max_iters: int = 100,
         resume: bool = True,
+        job_key: str | None = None,
     ) -> SuperstepResult:
         start_k = 0
         state = state0
@@ -144,9 +180,21 @@ class SuperstepRunner:
         if self.run_dir and resume:
             last = self.last_completed()
             if last >= 0:
+                self._check_resume_fingerprint(state0, job_key)
                 state = self.table_io.read(self._state_dir(last))
                 start_k = last + 1
                 resumed_from = last
+        if self.run_dir and resumed_from < 0:
+            # fresh start in this dir: clear stale completion markers so a
+            # later resume can't stitch this run's early checkpoints to a
+            # previous run's later ones, then record this job's identity
+            for f in os.listdir(self.run_dir):
+                if f.startswith("_DONE_k="):
+                    os.remove(os.path.join(self.run_dir, f))
+            with open(self._job_path(), "w") as f:
+                json.dump(
+                    {"job_key": job_key, "state_schema": state0.schema.simpleString()}, f
+                )
 
         state = state.localCheckpoint()
         metrics: list[dict] = []

@@ -263,6 +263,7 @@ def cheapest_path_costs(
             "id", F.lit(0.0).alias("cost"), F.lit(None).cast("long").alias("parent")
         )
         dist = dist.localCheckpoint()
+        changed = 0
         for it in range(1, max_iters + 1):
             relaxed = edges.join(dist, edges["u"] == dist["id"]).select(
                 F.col("v").alias("id"),
@@ -310,6 +311,17 @@ def cheapest_path_costs(
             dist = new_dist.drop("_changed")
             if changed == 0:
                 break
+        if changed:
+            # exhausting max_iters with relaxations still firing means the
+            # result is NOT the Bellman-Ford fixpoint (hop-diameter beyond
+            # max_iters, or a negative-cost cycle that has no fixpoint) —
+            # returning partial distances silently would hand callers
+            # non-converged costs labeled as exact
+            raise RuntimeError(
+                f"cheapest_path_costs did not converge within max_iters={max_iters} "
+                f"({changed} vertices still relaxing): raise max_iters, or check for "
+                f"negative-cost cycles reachable from the seeds"
+            )
         return dist
     finally:
         hot.unpersist()
@@ -327,13 +339,34 @@ def dfs_oracle(graph: Graph, seeds: list[int], direction: str = "out") -> list[i
     """
     import pandas as pd  # noqa: F401 (kernel runs on executors)
 
-    edges = _edges_for(graph, direction).withColumn("_g", F.lit(0))
+    # the kernel frame carries BOTH the edge list and the vertex set
+    # (vertex rows have v = NULL): Erwig DFS visits a seed with no
+    # successors and SKIPS a seed that is not in the graph — neither
+    # is decidable from edge endpoints alone, and a graph whose
+    # direction-projected edge set is empty would otherwise never
+    # invoke the kernel at all (groupBy.applyInPandas on zero rows),
+    # wrongly returning [] instead of the seed visit order.
+    verts = graph.vertices.select(
+        F.col("id").alias("u"), F.lit(None).cast("long").alias("v")
+    )
+    edges = (
+        _edges_for(graph, direction)
+        .select("u", "v")
+        .unionByName(verts)
+        .withColumn("_g", F.lit(0))
+    )
     seeds_b = list(seeds)
 
     def kernel(pdf):
+        import pandas as _p
+
+        vset: set[int] = set()
         adj: dict[int, list[int]] = {}
         for u, v in zip(pdf["u"], pdf["v"]):
-            adj.setdefault(int(u), []).append(int(v))
+            if _p.isna(v):
+                vset.add(int(u))
+            else:
+                adj.setdefault(int(u), []).append(int(v))
         for u in adj:
             adj[u].sort()
         seen: set[int] = set()
@@ -341,7 +374,7 @@ def dfs_oracle(graph: Graph, seeds: list[int], direction: str = "out") -> list[i
         stack = list(reversed(seeds_b))
         while stack:
             x = stack.pop()
-            if x in seen:
+            if x in seen or x not in vset:
                 continue
             seen.add(x)
             order.append(x)

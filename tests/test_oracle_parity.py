@@ -79,3 +79,28 @@ def test_entry_smoke(spark):
     assert ranks == sorted(ranks, reverse=True)
     assert all(0 < r < 1 for r in ranks)
     assert math.isfinite(sum(ranks))
+
+
+def test_doc_token_counts_parity_on_empty_and_whitespace_text(spark, tmp_path):
+    """The gate fixtures contain no empty/whitespace-only docs, but the
+    library and the twin must agree on them: textops.tokens maps '' to
+    [] (0 tokens) while DuckDB's regexp_split_to_array('') yields ['']
+    (len 1) — the twin carries an explicit CASE for it. NULL stays NULL
+    on both sides."""
+    import pandas as pd
+
+    rows = [(1, ""), (2, "   "), (3, None), (4, "two tokens")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sdf = entry_mod.queries()["doc_token_counts"](spark, str(tmp_path))
+    srows = _norm(sdf.collect(), sdf.columns)
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    cur = con.execute(entry_mod.oracle_sql()["doc_token_counts"])
+    drows = _norm(cur.fetchall(), [d[0] for d in cur.description])
+    con.close()
+    assert srows == drows
+    n_by_id = {dict(t)["doc_id"]: dict(t)["n_tokens"] for t in srows}
+    assert n_by_id == {"1": "0", "2": "0", "3": "None", "4": "2"}

@@ -479,3 +479,53 @@ def test_knn_dispatcher_honors_caller_centroids(spark, emb):
             max_broadcast_queries=2,
             assigned=simsearch.ivf_assign(df, my_cent),
         )
+
+
+def test_minhash_short_docs_never_collide_in_lsh(spark):
+    """Docs below k_shingle tokens must get NULL signatures: Spark's
+    xxhash64(NULL) returns the SEED (non-null), so the unguarded
+    explode_outer placeholder gave every short doc ONE identical
+    signature — flooding every LSH band with bogus candidate pairs."""
+    df = spark.createDataFrame(
+        [
+            (1, "hi"),
+            (2, "yo"),
+            (3, "a b"),
+            (4, "totally unrelated words one"),
+            (5, "totally unrelated words one"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = dedup.minhash_signatures(df, k_shingle=3, n_hashes=8)
+    rows = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    for short_id in (1, 2, 3):
+        assert rows[short_id][0] is None
+    pairs = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(sig, n_bands=4).collect()}
+    assert pairs == {(4, 5)}
+
+
+def test_lsh_rejects_n_bands_beyond_signature_length(spark):
+    """n_bands > len(sig) floors rows_per_band to 0 — every band slice
+    empty, all docs in one bucket: the quadratic self-join LSH exists
+    to avoid. Must raise, not silently degenerate."""
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, "five six seven eight")],
+        "doc_id long, text string",
+    )
+    sig = dedup.minhash_signatures(df, n_hashes=8)
+    with pytest.raises(Exception, match="n_bands=16 exceeds signature length"):
+        dedup.lsh_candidate_pairs(sig, n_bands=16).collect()
+
+
+def test_jaccard_verify_exposes_cache_handles(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    out = dedup.near_duplicate_pairs(df, threshold=0.5)
+    assert {(r["a"], r["b"]) for r in out.collect()} == {(1, 2)}
+    caches = out._qs_caches  # noqa: SLF001
+    assert len(caches) == 2 and all(c.is_cached for c in caches)
+    for c in caches:
+        c.unpersist()
+    assert not any(c.is_cached for c in caches)

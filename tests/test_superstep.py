@@ -74,3 +74,44 @@ def test_resume_ignores_unmarked_partial_state(spark, tmp_path):
         os.path.join(d, "state_k=00003")
     )
     assert SuperstepRunner(spark, run_dir=d).last_completed() == 2
+
+
+def test_resume_refuses_foreign_run_dir(spark, tmp_path):
+    """last_completed() matches ANY _DONE marker — without the job.json
+    fingerprint, reusing one run_dir across algorithms silently resumes
+    from foreign state (e.g. CC warm-started from a pagerank table)."""
+    import pytest
+
+    d = str(tmp_path / "shared")
+    r1 = SuperstepRunner(spark, run_dir=d, checkpoint_every=1)
+    s0 = spark.createDataFrame([(1, 1.0)], "id long, x double")
+    r1.run(s0, _doubling_step, tol=0.5, max_iters=50, job_key="doubling:a")
+    # same schema, different job key -> refused
+    with pytest.raises(ValueError, match="different job"):
+        SuperstepRunner(spark, run_dir=d).run(
+            s0, _doubling_step, tol=0.5, max_iters=50, job_key="doubling:b"
+        )
+    # different state schema -> refused even with no job keys at all
+    s0b = spark.createDataFrame([(1, 2)], "id long, component long")
+    with pytest.raises(ValueError, match="different job"):
+        SuperstepRunner(spark, run_dir=d).run(s0b, lambda st, k: (st, 0.0), tol=0.5)
+    # the matching job still resumes
+    res = SuperstepRunner(spark, run_dir=d).run(
+        s0, _doubling_step, tol=0.5, max_iters=50, job_key="doubling:a"
+    )
+    assert res.resumed_from == 4
+
+
+def test_fresh_start_clears_stale_markers(spark, tmp_path):
+    """resume=False restarts in place: stale _DONE markers from the
+    previous run must go, or a later resume stitches this run's early
+    checkpoints to the old run's later ones."""
+    d = str(tmp_path / "restart")
+    s0 = spark.createDataFrame([(1, 1.0)], "id long, x double")
+    r1 = SuperstepRunner(spark, run_dir=d, checkpoint_every=1)
+    r1.run(s0, _doubling_step, tol=0.5, max_iters=50)
+    assert r1.last_completed() == 4
+    r2 = SuperstepRunner(spark, run_dir=d, checkpoint_every=1)
+    res = r2.run(s0, _doubling_step, tol=None, max_iters=2, resume=False)
+    assert res.resumed_from == -1
+    assert r2.last_completed() == 1  # k=2..4 markers cleared, not resumable

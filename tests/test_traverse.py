@@ -152,3 +152,40 @@ def test_cheapest_path_salted_equals_unsalted(spark):
     }
     assert plain == salted
     assert len(plain) > 3  # actually relaxed beyond the seeds
+
+
+def test_dfs_oracle_edgeless_graph_visits_seeds(spark):
+    """Erwig DFS visits every in-graph seed even with no successors; a
+    zero-row direction-projected edge frame used to skip the kernel
+    entirely (groupBy.applyInPandas never runs on zero rows) and
+    return []."""
+    g = build_graph(spark, [(1, "a"), (2, "b")], [])
+    assert traverse.dfs_oracle(g, [1, 2]) == [1, 2]
+    # edges exist only in the opposite direction of the projection
+    g2 = build_graph(spark, [(1, "a"), (2, "b")], [(1, 2, "e")])
+    assert traverse.dfs_oracle(g2, [2], direction="out") == [2]
+
+
+def test_dfs_oracle_skips_seeds_not_in_graph(spark):
+    """fgl's dfs drops nodes that fail to match; the kernel only saw
+    edge endpoints, so a nonexistent seed was wrongly visited."""
+    g = build_graph(spark, [(1, "a"), (2, "b")], [(1, 2, "e")])
+    assert traverse.dfs_oracle(g, [99, 1]) == [1, 2]
+
+
+def test_cheapest_path_raises_on_iteration_exhaustion(spark):
+    """Exhausting max_iters with relaxations still firing must raise —
+    returning partial distances silently hands callers non-converged
+    costs labeled as exact."""
+    import pytest
+
+    from quiver_spark.graph import Graph
+
+    n = 12
+    V = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    E = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], "src long, dst long, weight double"
+    )
+    g = Graph.mk_graph(V, E)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        traverse.cheapest_path_costs(g, [0], max_iters=3)
