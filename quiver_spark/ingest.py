@@ -216,10 +216,14 @@ def slim_scan(repos: DataFrame) -> DataFrame:
     )
 
 
-def file_vertices(slim: DataFrame) -> DataFrame:
+def file_vertices(slim: DataFrame, keep_commit: bool = False) -> DataFrame:
     """One vertex per distinct (repo, path): id, labels, content sha of
     the newest commit (max commit hex as tie-break). Takes the
-    :func:`slim_scan` frame."""
+    :func:`slim_scan` frame. ``keep_commit`` additionally projects the
+    winning commit as ``_newest_commit`` — the incremental-ingest sink
+    needs it so cross-batch vertex merges can replay the SAME newest-
+    commit-wins rule (max over commit is associative, so per-batch
+    winners merge to the exact batch-ingest vertex)."""
     newest = (
         slim.groupBy("repo", "path")
         .agg(F.max(F.struct(F.col("commit"), F.col("lang"), F.col("content_sha"))).alias("m"))
@@ -229,6 +233,7 @@ def file_vertices(slim: DataFrame) -> DataFrame:
             "path",
             F.col("m.lang").alias("lang"),
             F.col("m.content_sha").alias("content_sha"),
+            *([F.col("m.commit").alias("_newest_commit")] if keep_commit else []),
         )
     )
     return newest
@@ -362,11 +367,12 @@ def _extract_imports_arrow(content: pd.Series) -> pd.Series:
     return content.map(lambda c: [{"trepo": m[0], "tstem": m[1]} for m in rx.findall(c or "")])
 
 
-def imports_edges(slim: DataFrame, files: DataFrame | None = None) -> DataFrame:
-    """file→file edges, one per import statement per commit: parallel
-    labeled edges across commits survive (multigraph Set[B]). Imports
-    were already extracted by :func:`slim_scan`."""
-    hits = (
+def import_hits(slim: DataFrame) -> DataFrame:
+    """Unresolved import statements: ``(src, trepo, tstem, commit)``,
+    one row per statement per commit. The incremental-ingest stream
+    stores these per batch so a hit whose target arrives in a LATER
+    increment still resolves (streaming.py delta joins)."""
+    return (
         slim.select("repo", "path", "commit", "imps")
         .withColumn("imp", F.explode("imps"))
         .select(
@@ -376,15 +382,24 @@ def imports_edges(slim: DataFrame, files: DataFrame | None = None) -> DataFrame:
             "commit",
         )
     )
-    # resolve targets: join on (repo, file stem)
-    targets = (
-        (files if files is not None else distinct_files(slim))
-        .select(
-            F.col("repo").alias("trepo"),
-            F.regexp_extract(F.element_at(F.split("path", "/"), -1), r"^(f\d+)\.", 1).alias("tstem"),
-            F.xxhash64("repo", "path").alias("dst"),
-        )
+
+
+def import_targets(files: DataFrame) -> DataFrame:
+    """Resolution table ``(trepo, tstem, dst)`` from distinct files —
+    the join key an import statement names."""
+    return files.select(
+        F.col("repo").alias("trepo"),
+        F.regexp_extract(F.element_at(F.split("path", "/"), -1), r"^(f\d+)\.", 1).alias("tstem"),
+        F.xxhash64("repo", "path").alias("dst"),
     )
+
+
+def imports_edges(slim: DataFrame, files: DataFrame | None = None) -> DataFrame:
+    """file→file edges, one per import statement per commit: parallel
+    labeled edges across commits survive (multigraph Set[B]). Imports
+    were already extracted by :func:`slim_scan`."""
+    hits = import_hits(slim)
+    targets = import_targets(files if files is not None else distinct_files(slim))
     return (
         hits.join(targets, ["trepo", "tstem"])  # unresolved imports drop (safe ingest)
         .select("src", "dst", F.lit("imports").alias("etype"), "commit")

@@ -498,6 +498,29 @@ def q_events_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.edges.select("src", "dst", "n_transitions")
 
 
+def q_events_user_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts — the BATCH twin of the
+    stateful streaming operator (streaming.user_transitions_stream,
+    equality-tested against this shape in tests/test_streaming.py).
+    Parallel per-key window, no single-partition exchange."""
+    from quiver_spark import streaming as qstream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = qstream.user_transitions(ev)
+    return t.groupBy("user_id", "src", "dst").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_events_hourly_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event-type counts — the batch twin of the
+    watermarked streaming aggregation. Window start exported as epoch
+    micros (tz-proof against the DuckDB twin; session tz is UTC)."""
+    from quiver_spark import streaming as qstream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = qstream.windowed_type_counts(ev, "1 hour")
+    return w.select(F.unix_micros("window_start").alias("w_us"), "event_type", "n")
+
+
 # ------------------------------------------- training-data pipeline queries
 # (documents / embeddings tables + deterministic multimodal assets —
 # the dedup / similarity / text-analysis / multimodal surface)
@@ -1483,6 +1506,22 @@ SELECT d.doc_id,
        COALESCE(comp.component, d.doc_id) = d.doc_id AS keep
 FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
 """,
+    # batch twins of the streaming operators (streaming.py)
+    "events_user_type_transitions": """
+WITH o AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+)
+SELECT user_id, src, dst, CAST(count(*) AS BIGINT) AS n
+FROM o WHERE src IS NOT NULL GROUP BY 1, 2, 3
+""",
+    "events_hourly_type_counts": """
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS w_us,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""",
 }
 
 # Dict ORDER is a contract: the driver's correctness gate records only
@@ -1581,6 +1620,11 @@ QUERIES = {
     # oracled end-to-end dedup deliverable: near-dup pairs → CC →
     # canonical keep/drop table (round-4, verdict item 7)
     "doc_dedup_keep": q_doc_dedup_keep,
+    # oracled batch twins of the Structured Streaming operators
+    # (streaming.py: the streaming sides are equality-tested against
+    # these shapes in tests/test_streaming.py)
+    "events_user_type_transitions": q_events_user_type_transitions,
+    "events_hourly_type_counts": q_events_hourly_type_counts,
 }
 
 # The driver records CORRECTNESS rows for exactly these 50 names, in

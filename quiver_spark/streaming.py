@@ -1,0 +1,340 @@
+"""Structured Streaming surfaces: incremental graph ingest + stateful
+event operators.
+
+The batch engine treats the repo table and the event log as static
+inputs; a production link-graph pipeline receives both as FEEDS. This
+module is the ``readStream``/``writeStream`` layer over the same
+operators, Spark-first throughout:
+
+- **incremental ingest** (:func:`incremental_ingest`): a stream of
+  repo-table increments → per-micro-batch graph extraction through the
+  SAME batch primitives (one content scan, JVM-side import regex, zero
+  Python), landed as per-batch overwrite directories. Exactly-once
+  comes from the standard foreachBatch idempotence pattern: every sink
+  path is a pure function of ``batch_id``, so a replayed batch
+  overwrites its own output instead of duplicating it, and progress is
+  tracked by the stream's ``checkpointLocation``.
+
+  The composition is EXACT for any split of the repo table into
+  increments — ``load_incremental_graph(stream outputs)`` equals
+  ``ingest(full table)`` (equality-tested in tests/test_streaming.py):
+
+  * vertices: per-batch newest-commit winners carry their winning
+    commit; the loader folds them with the same max-struct rule (max
+    is associative, so per-batch maxima merge to the global maximum).
+  * contains edges: identity rows, deduped at load.
+  * imports: the hard case — an import statement's target file may
+    arrive in a DIFFERENT increment, in either order. Each batch
+    stores its hits and targets and emits the classic incremental
+    delta join: ``new_hits ⋈ (prior ∪ new targets)`` ∪
+    ``prior_hits ⋈ new_targets``. Every (hit, target) pair is joined
+    in exactly one batch (the later of the two arrivals), so the union
+    over batches equals the one-shot batch join. At cluster scale the
+    prior_hits/targets sides are Iceberg tables bucketed by
+    ``(trepo, tstem)`` so the per-batch delta join co-locates without
+    a full shuffle; here they are the parquet batch trees.
+
+- **per-user transitions** (:func:`user_transitions_stream`): the
+  custom stateful operator — ``applyInPandasWithState`` keeps one tiny
+  state row (last event) per user and emits a ``src → dst`` transition
+  per arriving event. State is per-key and constant-size, so the
+  operator scales with the key space, not the stream length. Exact vs
+  the batch twin (:func:`user_transitions`) when each user's events
+  arrive in event-time order across micro-batches (within a batch the
+  kernel sorts, so intra-batch disorder is free); reordering ACROSS
+  batches would need a buffering watermark timeout — documented
+  limitation, not silent wrongness: the batch twin is the oracle.
+
+- **windowed counts** (:func:`windowed_type_counts_stream`): built-in
+  tumbling-window aggregation with a watermark for late data — no
+  custom code, Catalyst's incremental aggregation does the work.
+
+Nothing here is a quiver symbol (the reference is an in-memory
+library); this layer is required by the task brief's streaming surface
+and mirrors SURVEY.md §2.11's time-sliced graph demo.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "read_stream_like",
+    "incremental_ingest",
+    "load_incremental_graph",
+    "user_transitions",
+    "user_transitions_stream",
+    "windowed_type_counts",
+    "windowed_type_counts_stream",
+]
+
+
+def read_stream_like(spark: SparkSession, path: str, like: DataFrame | None = None, **options) -> DataFrame:
+    """``readStream`` over a parquet directory with the schema taken
+    from a one-file batch peek (streams need an explicit schema).
+    ``maxFilesPerTrigger=1`` in tests forces multi-micro-batch runs so
+    cross-batch state is actually exercised."""
+    schema = (like if like is not None else spark.read.parquet(path)).schema
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# incremental graph ingest
+# ---------------------------------------------------------------------------
+def _prior_batches(spark: SparkSession, root: str, before: int) -> DataFrame | None:
+    """Union of ``{root}/batch=<k>`` for k < before, or None if none
+    exist. Filtering on the partition column prunes a replayed batch's
+    own (stale) directory instead of double-counting it."""
+    import glob as _glob
+
+    # existence = actual part files (a batch with nothing to contribute
+    # leaves a _SUCCESS-only dir; schema inference over only-empty dirs
+    # would fail, and an empty prior contributes nothing anyway)
+    if not _glob.glob(f"{root}/batch=*/part-*"):
+        return None
+    df = spark.read.option("basePath", root).parquet(root)
+    return df.filter(F.col("batch").cast("long") < before).drop("batch")
+
+
+def incremental_ingest(
+    repo_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain the link graph over a stream of repo-table increments;
+    returns the started StreamingQuery (caller awaits it).
+
+    Per micro-batch, via the SAME batch primitives (slim_scan's single
+    content scan, JVM regex import extraction — zero Python):
+
+    - ``vertices/batch=N``: newest-commit file vertices (winning commit
+      kept for the cross-batch merge) ∪ dir vertices,
+    - ``contains/batch=N``: repo-tree containment edges,
+    - ``hits/batch=N`` and ``targets/batch=N``: the import statements
+      and the resolvable files this increment contributes,
+    - ``imports/batch=N``: the DELTA JOIN — this batch's hits against
+      all targets so far, plus all prior hits against this batch's new
+      targets — so imports resolve across increments in either arrival
+      order (module doc).
+
+    Every sink path is a pure function of ``batch_id`` and written with
+    ``mode("overwrite")``: a replayed batch rewrites its own outputs
+    (the foreachBatch exactly-once pattern), and the delta-join reads
+    exclude the replayed batch's stale directories by partition filter.
+    """
+    from quiver_spark.ingest import (
+        contains_edges,
+        dir_vertices,
+        distinct_files,
+        file_vertices,
+        import_hits,
+        import_targets,
+        slim_scan,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        slim = slim_scan(batch_df).persist()
+        files = distinct_files(slim).persist()
+        try:
+            v = (
+                file_vertices(slim, keep_commit=True)
+                .unionByName(dir_vertices(slim, files), allowMissingColumns=True)
+                .dropDuplicates(["id"])
+            )
+            v.write.mode("overwrite").parquet(f"{out_dir}/vertices/batch={batch_id}")
+            contains_edges(slim, files).write.mode("overwrite").parquet(
+                f"{out_dir}/contains/batch={batch_id}"
+            )
+            new_hits = import_hits(slim).persist()
+            new_targets = import_targets(files).persist()
+            new_hits.write.mode("overwrite").parquet(f"{out_dir}/hits/batch={batch_id}")
+            new_targets.write.mode("overwrite").parquet(f"{out_dir}/targets/batch={batch_id}")
+
+            prior_hits = _prior_batches(spark, f"{out_dir}/hits", batch_id)
+            prior_targets = _prior_batches(spark, f"{out_dir}/targets", batch_id)
+            all_targets = (
+                new_targets if prior_targets is None else prior_targets.unionByName(new_targets)
+            )
+            resolved = new_hits.join(all_targets, ["trepo", "tstem"])
+            if prior_hits is not None:
+                resolved = resolved.unionByName(prior_hits.join(new_targets, ["trepo", "tstem"]))
+            resolved.select(
+                "src", "dst", F.lit("imports").alias("etype"), "commit"
+            ).write.mode("overwrite").parquet(f"{out_dir}/imports/batch={batch_id}")
+        finally:
+            slim.unpersist()
+            files.unpersist()
+            try:
+                new_hits.unpersist()
+                new_targets.unpersist()
+            except NameError:
+                pass
+
+    writer = repo_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def load_incremental_graph(spark: SparkSession, out_dir: str):
+    """Assemble the streamed per-batch outputs into one Graph — exactly
+    ``ingest(concatenation of all increments)``.
+
+    Vertices fold with the same newest-commit-wins max-struct rule the
+    batch path uses (dir vertices carry no commit and are identical
+    rows, so any winner is THE row); contains edges are identity rows
+    deduped; import edges dedup on full identity exactly like
+    ``imports_edges``. This is the parquet stand-in for the per-batch
+    Iceberg ``MERGE INTO`` of the cluster path."""
+    from quiver_spark.graph import Graph
+
+    v_raw = spark.read.option("basePath", f"{out_dir}/vertices").parquet(f"{out_dir}/vertices")
+    data_cols = [c for c in v_raw.columns if c not in ("id", "batch", "_newest_commit")]
+    v = (
+        v_raw.groupBy("id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.coalesce(F.col("_newest_commit"), F.lit("")).alias("_ck"),
+                    *[F.col(c) for c in data_cols],
+                )
+            ).alias("m")
+        )
+        .select("id", *[F.col(f"m.{c}").alias(c) for c in data_cols])
+    )
+    contains = (
+        spark.read.option("basePath", f"{out_dir}/contains")
+        .parquet(f"{out_dir}/contains")
+        .drop("batch")
+        .dropDuplicates()
+    )
+    imports = (
+        spark.read.option("basePath", f"{out_dir}/imports")
+        .parquet(f"{out_dir}/imports")
+        .drop("batch")
+        .dropDuplicates(["src", "dst", "etype", "commit"])
+    )
+    return Graph.safe_mk_graph(v, contains.unionByName(imports), ids_unique=True)
+
+
+# ---------------------------------------------------------------------------
+# per-user transitions: batch twin + stateful streaming operator
+# ---------------------------------------------------------------------------
+def user_transitions(
+    ev: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch oracle: per-user consecutive ``src → dst`` value pairs in
+    ``(ts, id)`` order. ``Window.partitionBy(user)`` — a parallel
+    per-key sort, no single-partition exchange (unlike the GLOBAL-order
+    ``events.sequential_pairs``, which needs the bucketed stitch)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    return (
+        ev.select(
+            F.col(user_col).alias("user_id"),
+            F.lag(value_col).over(w).alias("src"),
+            F.col(value_col).alias("dst"),
+            F.col(ts_col).alias("ts"),
+        )
+        .filter(F.col("src").isNotNull())
+    )
+
+
+def user_transitions_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of :func:`user_transitions` via
+    ``applyInPandasWithState``: per-user state = the last event seen
+    (value, ts, id) — constant bytes per key. Each micro-batch sorts
+    the user's new rows by ``(ts, id)``, emits one transition per row
+    (the first chains off the state), and stores the new last row.
+
+    Exact vs the batch twin when each user's events arrive event-time
+    ordered ACROSS micro-batches (intra-batch disorder is sorted away);
+    cross-batch reordering would need a buffered watermark timeout."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, src string, dst string, ts timestamp"
+    state_schema = "last_val string, last_ts long, last_id long"
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
+        vals = rows[value_col].tolist()
+        prev = state.get[0] if state.exists else None
+        srcs = [prev] + vals[:-1]
+        out = pd.DataFrame(
+            {
+                "user_id": rows[user_col],
+                "src": srcs,
+                "dst": vals,
+                "ts": rows[ts_col],
+            }
+        )
+        last = rows.iloc[-1]
+        state.update((str(last[value_col]), int(pd.Timestamp(last[ts_col]).value), int(last[id_col])))
+        yield out[out["src"].notna()]
+
+    return (
+        events.groupBy(user_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+    )
+
+
+# ---------------------------------------------------------------------------
+# watermarked windowed aggregation
+# ---------------------------------------------------------------------------
+def windowed_type_counts(
+    ev: DataFrame, window: str = "1 hour", ts_col: str = "ts", type_col: str = "event_type"
+) -> DataFrame:
+    """Batch twin of the windowed count: (window_start, event_type, n).
+    The ts cast matches the streaming side (watermarks require
+    TIMESTAMP, not the parquet NTZ type; session tz is UTC so the
+    instant is the wall clock)."""
+    ev = ev.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        ev.groupBy(F.window(ts_col, window).alias("w"), F.col(type_col).alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def windowed_type_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window event-type counts with a late-data watermark —
+    entirely built-in incremental aggregation (state eviction past the
+    watermark is Catalyst's job, not ours)."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(type_col).alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
