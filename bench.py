@@ -64,7 +64,11 @@ def main() -> None:
     def build():
         g = ing.ingest(repos)
         g.persist()
-        return g, g.count_nodes(), g.count_edges()
+        counts = g.count_nodes(), g.count_edges()
+        # the graph is materialized: drop ingest's internal caches so
+        # they don't occupy executor storage through the whole suite
+        ing.release_source_caches(g)
+        return g, *counts
 
     g, n_nodes, n_edges = timed("ingest_repo_graph", build)
 
