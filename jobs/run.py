@@ -9,11 +9,15 @@ The north rule (BASELINE.json:14) requires the engine to ship as
         --run-dir /ckpt/pr_run1 --strategy auto --tol 1e-6
 
 Subcommands: ``ingest``, ``pagerank``, ``components``, ``labelprop``,
-``triangles``, ``synthesize``. Every iterative job takes ``--run-dir``
-for durable checkpoints + per-partition lineage + metrics, and is
-resumable: re-submitting the same command with the same --run-dir
-continues from the newest completed superstep (SuperstepRunner.run
-resume=True).
+``triangles``, ``synthesize``, ``near-dups``, ``dedup-keep``,
+``ann-index``, ``stream-ingest``. Every iterative job takes
+``--run-dir`` for durable checkpoints + per-partition lineage +
+metrics, and is resumable: re-submitting the same command with the
+same --run-dir continues from the newest completed superstep
+(SuperstepRunner.run resume=True). ``stream-ingest`` is incrementally
+resumable the streaming way: its --run-dir is the stream's
+checkpointLocation, so a re-submit processes only repo-table files
+that arrived since the last run.
 
 On a cluster, --input/--output are any Spark-readable URIs (Iceberg
 tables via ``--format iceberg`` where the catalog is configured; plain
@@ -70,7 +74,8 @@ def main(argv: list[str] | None = None) -> int:
         "cmd",
         choices=[
             "ingest", "pagerank", "components", "labelprop", "triangles",
-            "synthesize", "near-dups", "ann-index",
+            "synthesize", "near-dups", "dedup-keep", "ann-index",
+            "stream-ingest",
         ],
     )
     ap.add_argument("--input", help="repo table URI (repo,path,commit,lang,content)")
@@ -147,6 +152,45 @@ def main(argv: list[str] | None = None) -> int:
         pairs = dedup.near_duplicate_pairs(docs, threshold=args.jaccard)
         io.write(pairs, args.output)
         print(json.dumps({"job": "near-dups", "pairs": io.read(args.output).count()}))
+        return 0
+
+    if args.cmd == "dedup-keep":
+        # the 100 TB dedup deliverable: near-dup pairs → distributed CC
+        # → one canonical doc per cluster; output is the per-doc
+        # (doc_id, component, keep) table (filter(keep) = deduped corpus)
+        from quiver_spark import dedup
+
+        docs = _read(spark, args.input, args.format)
+        pairs = dedup.near_duplicate_pairs(docs, threshold=args.jaccard)
+        keep = dedup.canonical_keep_table(docs, pairs)
+        io.write(keep, args.output)
+        written = io.read(args.output)
+        print(json.dumps({
+            "job": "dedup-keep",
+            "docs": written.count(),
+            "kept": written.filter("keep").count(),
+        }))
+        return 0
+
+    if args.cmd == "stream-ingest":
+        # incremental link-graph maintenance over a repo-table feed:
+        # processes files that arrived under --input since the last
+        # submit with this --run-dir (streaming checkpoint), lands
+        # per-batch graph increments under --output, then reports the
+        # assembled graph (== ingest over everything seen so far)
+        if not args.run_dir:
+            raise SystemExit("stream-ingest requires --run-dir (the stream checkpoint)")
+        from quiver_spark import streaming
+
+        stream = streaming.read_stream_like(spark, args.input)
+        q = streaming.incremental_ingest(stream, args.output, args.run_dir)
+        q.awaitTermination()
+        g = streaming.load_incremental_graph(spark, args.output)
+        print(json.dumps({
+            "job": "stream-ingest",
+            "vertices": g.count_nodes(),
+            "edges": g.count_edges(),
+        }))
         return 0
 
     g = _load_graph(spark, args)

@@ -258,3 +258,61 @@ def test_submit_ann_index_partitioned_by_cell(tmp_path):
     assert out["job"] == "ann-index" and out["vectors"] > 0
     parts = glob.glob(str(tmp_path / "cells" / "cell=*"))
     assert len(parts) >= 2, f"expected cell= partition dirs, got {parts}"
+
+
+def test_submit_dedup_keep_writes_canonical_table(tmp_path):
+    """dedup-keep ships the canonical keep/drop table as a job: one row
+    per document, exactly one keeper per dup cluster."""
+    out = _submit(
+        tmp_path,
+        "dedup-keep",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", str(tmp_path / "keep"),
+        "--jaccard", "0.5",
+    )
+    assert out["job"] == "dedup-keep"
+    assert out["docs"] == 500  # sf0.001 documents row count
+    assert 0 < out["kept"] <= out["docs"]
+
+
+def test_submit_stream_ingest_incremental_resume(tmp_path, spark):
+    """stream-ingest is incrementally resumable: a re-submit with the
+    same --run-dir processes only newly arrived repo files, and the
+    assembled graph equals batch ingest over everything seen."""
+    import glob
+
+    from quiver_spark import ingest as ing
+
+    repos = ing.synthesize_repo_table(spark, n_files=200, n_repos=4, seed=11)
+    staged = tmp_path / "staged"
+    repos.repartition(2).write.parquet(str(staged))
+    parts = sorted(glob.glob(str(staged / "part-*")))
+    assert len(parts) == 2
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    shutil.copy(parts[0], feed / "a.parquet")
+    out1 = _submit(
+        tmp_path,
+        "stream-ingest",
+        "--input", str(feed),
+        "--output", str(tmp_path / "graph"),
+        "--run-dir", str(tmp_path / "stream_ckpt"),
+    )
+    assert out1["job"] == "stream-ingest" and out1["vertices"] > 0
+
+    shutil.copy(parts[1], feed / "b.parquet")
+    out2 = _submit(
+        tmp_path,
+        "stream-ingest",
+        "--input", str(feed),
+        "--output", str(tmp_path / "graph"),
+        "--run-dir", str(tmp_path / "stream_ckpt"),
+    )
+    g_ref = ing.ingest(spark.read.parquet(str(staged)))
+    try:
+        assert out2["vertices"] == g_ref.count_nodes()
+        assert out2["edges"] == g_ref.count_edges()
+    finally:
+        ing.release_source_caches(g_ref)
+    assert out1["vertices"] <= out2["vertices"]
