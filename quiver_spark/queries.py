@@ -826,26 +826,33 @@ def q_emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall of the cell-cogrouped distributed knn join
+    """Recall@5 of the cell-cogrouped distributed knn join
     (simsearch.ivf_knn_join — both sides stay distributed, the scale
     path beyond knn_join's broadcast guard) vs the exact broadcast
-    join, over 32 query vectors. Rows-only: the IVF assignment has no
-    DuckDB twin."""
+    join, over 32 fixed query vectors (vec_id % 13 == 0, < 416 — no
+    ``limit``, so the set is deterministic), gated ≥ 0.9 as a boolean
+    with a constant DuckDB twin (same pattern as ``emb_*_recall``).
+    nprobe = 24 of 32 cells: near-uniform random embeddings are the
+    hardest ANN regime — recall is bounded by the probed corpus
+    fraction — so the gate pins the distributed machinery (fan-out,
+    cogrouped matmul, window finish) at a high-probe setting; measured
+    0.969 at sf0.01, deterministic (seeded k-means, seeded plan)."""
     from quiver_spark import simsearch
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = (
-        emb.filter(F.col("vec_id") % 13 == 0)
-        .limit(32)
-        .select(F.col("vec_id").alias("qid"), "embedding")
+    queries = emb.filter((F.col("vec_id") % 13 == 0) & (F.col("vec_id") < 416)).select(
+        F.col("vec_id").alias("qid"), "embedding"
     )
     exact = simsearch.knn_join(emb, queries, k=5)
     cent = simsearch.ivf_centroids(emb, k=32)
     assigned = simsearch.ivf_assign(emb, cent)
-    approx = simsearch.ivf_knn_join(assigned, queries, cent, k=5, nprobe=8)
+    approx = simsearch.ivf_knn_join(assigned, queries, cent, k=5, nprobe=24)
     hits = exact.select("qid", "vec_id").intersect(approx.select("qid", "vec_id")).count()
     total = exact.count()
-    return spark.createDataFrame([(hits, total)], "hits long, k_total long")
+    return spark.createDataFrame(
+        [(32, total, hits >= int(0.9 * total))],
+        "n_queries long, k_total long, recall_ok boolean",
+    )
 
 
 def q_emb_knn_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -854,8 +861,8 @@ def q_emb_knn_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`simsearch.ivf_knn_join` must equal brute-force top-5 per
     query bit-for-bit (ties (cos desc, vec_id asc) — module doc).
     Gives the beyond-broadcast knn path a VALUE-level DuckDB oracle
-    (``emb_knn_join_recall`` stays rows-only for the approximate
-    nprobe<cells regime, which has no SQL twin)."""
+    (``emb_knn_join_recall`` covers the approximate nprobe<cells
+    regime as a gated recall boolean with a constant twin)."""
     from quiver_spark import simsearch
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1469,6 +1476,10 @@ SELECT CAST(8 AS BIGINT) AS n_queries, CAST(80 AS BIGINT) AS k_total,
 """,
     "emb_lsh_recall": r"""
 SELECT CAST(8 AS BIGINT) AS n_queries, CAST(80 AS BIGINT) AS k_total,
+       true AS recall_ok
+""",
+    "emb_knn_join_recall": r"""
+SELECT CAST(32 AS BIGINT) AS n_queries, CAST(160 AS BIGINT) AS k_total,
        true AS recall_ok
 """,
     # end-to-end dedup deliverable: brute-force exact jaccard pairs →
