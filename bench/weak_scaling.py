@@ -75,8 +75,12 @@ def main() -> None:
         # never plateau inside a fixed window — the cheapest observed
         # step is the least-transient, least-contended sample of the
         # true per-round cost at that size
-        steps = r["wall_per_superstep_ms"][r["warmup_supersteps"]:]
-        r["min_step_ns_per_edge"] = round(min(steps) * 1e6 / r["n_edges"], 3)
+        steps = r.get("wall_per_superstep_ms", [])[r.get("warmup_supersteps", 0):]
+        # one-shot algos (triangles/ingest/neardup) report no per-step
+        # walls; fall back to the windowed mean so the row still lands
+        r["min_step_ns_per_edge"] = (
+            round(min(steps) * 1e6 / r["n_edges"], 3) if steps else r["ns_per_edge_steady"]
+        )
         rows.append(r)
         print(json.dumps(r))
 
