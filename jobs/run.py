@@ -92,6 +92,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-iters", type=int, default=None, help="fixed superstep count (oracle mode)")
     ap.add_argument("--strategy", default="auto", help="physical strategy for pagerank/components/labelprop (auto/smj/bhj/csr/...)")
     ap.add_argument("--checkpoint-every", type=int, default=5)
+    ap.add_argument(
+        "--init-ranks",
+        help="(pagerank) warm-start (id, rank) table URI — e.g. the previous run's "
+        "--output after a stream-ingest delta; converges to the same fixpoint in "
+        "far fewer supersteps when the graph changed little",
+    )
     ap.add_argument("--label-col", default="lang")
     ap.add_argument("--lp-iters", type=int, default=10)
     ap.add_argument("--jaccard", type=float, default=0.7, help="near-dups verify threshold")
@@ -209,6 +215,7 @@ def main(argv: list[str] | None = None) -> int:
             max_iters=args.max_iters,
             strategy=args.strategy,
             runner=runner,
+            init_ranks=_read(spark, args.init_ranks, args.format) if args.init_ranks else None,
         )
         io.write(res.state, args.output)
         out = {

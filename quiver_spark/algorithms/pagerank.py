@@ -98,11 +98,18 @@ def pagerank(
     n_blocks: int | None = None,
     strategy: str | None = None,
     runner: SuperstepRunner | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> SuperstepResult:
     """Returns a SuperstepResult whose state is ``(id, rank)``.
 
     ``num_iters`` set → exactly that many supersteps, no convergence
     action (oracle mode). Otherwise iterate until max |Δrank| ≤ tol.
+
+    ``init_ranks`` — optional ``(id, rank)`` warm start (e.g. the last
+    run's output after an incremental-ingest delta): converges to the
+    SAME fixpoint as the uniform start (damped power iteration has a
+    unique stationary vector) in far fewer supersteps when the graph
+    changed little. New vertices default to 1/n.
 
     ``strategy`` ∈ {"auto", "smj", "bhj", "csr", "csr_bcast"} — see
     module docstring. ``use_csr=True`` is the legacy spelling of
@@ -239,8 +246,28 @@ def pagerank(
     else:
         raise ValueError(f"unknown pagerank strategy: {strategy!r}")
 
-    # internal state schema: (id, rank, dang, delta); stripped on return
-    state0 = ids.select("id", F.lit(1.0 / n).alias("rank"), "dang", F.lit(0.0).alias("delta"))
+    # internal state schema: (id, rank, dang, delta); stripped on return.
+    # init_ranks (warm start): the damped power iteration has a unique
+    # fixpoint, so ANY start vector converges to the same ranks — a
+    # near-fixpoint start (last run's output after a small graph delta)
+    # just gets there in far fewer supersteps. Vertices the init table
+    # doesn't cover (newly ingested) start at 1/n; vertices it covers
+    # that no longer exist are dropped by the inner semantics of the
+    # left join (ids is the authority on the vertex set).
+    if init_ranks is not None:
+        warm = ids.join(init_ranks.select("id", F.col("rank").alias("_r0")), "id", "left").select(
+            "id", F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("rank"), "dang"
+        )
+        # renormalize to total mass 1 (the fixpoint's invariant): a
+        # graph delta leaves the carried-over ranks summing to ≠ 1, and
+        # that mass error would otherwise decay only at the damping
+        # rate — one one-time agg removes the whole error mode
+        total = F.broadcast(warm.agg(F.sum("rank").alias("_tot")))
+        state0 = warm.crossJoin(total).select(
+            "id", (F.col("rank") / F.col("_tot")).alias("rank"), "dang", F.lit(0.0).alias("delta")
+        )
+    else:
+        state0 = ids.select("id", F.lit(1.0 / n).alias("rank"), "dang", F.lit(0.0).alias("delta"))
 
     # dangling mass as a broadcast 1-row frame — stays inside the DAG
     def dang_row(state: DataFrame) -> DataFrame:

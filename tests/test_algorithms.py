@@ -471,3 +471,53 @@ def test_cc_escalation_preserves_planted_labels(spark, planted_cc):
     res = connected_components(planted_cc, escalate_after=1)
     comp = {r["id"]: r["component"] for r in res.state.collect()}
     assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 100: 100, 101: 100, 102: 100, 200: 200, 201: 200}
+
+
+def test_pagerank_warm_start_same_fixpoint_fewer_supersteps(spark):
+    """Warm start (init_ranks) after a SMALL graph delta: converges to
+    the SAME ranks as a cold start on the modified graph (the damped
+    power iteration's fixpoint is unique, independent of the start
+    vector) in strictly fewer supersteps — the stream-ingest →
+    pagerank --init-ranks maintenance composition. The delta must be
+    small RELATIVE to the graph for warm start to win (on a 9-vertex
+    graph a 1-vertex delta moves the fixpoint so far that uniform init
+    is closer), hence the 2k-vertex base here."""
+    from quiver_spark import ingest as ing
+    from quiver_spark.graph import Graph
+
+    edges = ing.synthesize_powerlaw_edges(spark, n_vertices=2_000, n_edges=20_000, seed=3)
+    g = Graph.from_edges(edges)
+    g.persist()
+    base = pagerank(g, tol=1e-8, max_iters=300)
+
+    # delta: one new vertex and three new edges (~0.015% of the graph)
+    g2 = Graph(
+        g.vertices.unionByName(spark.createDataFrame([(5000,)], "id long")),
+        g.edges.unionByName(
+            spark.createDataFrame(
+                [(5000, 7, "link"), (3, 5000, "link"), (11, 42, "link")],
+                "src long, dst long, etype string",
+            )
+        ),
+    )
+    cold = pagerank(g2, tol=1e-8, max_iters=300)
+    warm = pagerank(g2, tol=1e-8, max_iters=300, init_ranks=base.state)
+
+    cold_ranks = {r["id"]: r["rank"] for r in cold.state.collect()}
+    warm_ranks = {r["id"]: r["rank"] for r in warm.state.collect()}
+    assert set(warm_ranks) == set(cold_ranks)  # vertex 5000 present (1/n default)
+    for v, rank in cold_ranks.items():
+        assert math.isclose(rank, warm_ranks[v], rel_tol=0, abs_tol=1e-7), v
+    assert warm.converged and cold.converged
+    assert warm.supersteps < cold.supersteps
+    g.unpersist()
+
+
+def test_pagerank_warm_start_at_fixpoint_is_one_superstep(two_cliques_bridge):
+    """Re-running with init_ranks = the converged output and an
+    unchanged graph terminates after a single superstep (the first
+    delta measurement already reads ≤ tol)."""
+    base = pagerank(two_cliques_bridge, tol=1e-9, max_iters=200)
+    again = pagerank(two_cliques_bridge, tol=1e-9, max_iters=200, init_ranks=base.state)
+    assert again.converged
+    assert again.supersteps == 1
