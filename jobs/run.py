@@ -102,6 +102,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--lp-iters", type=int, default=10)
     ap.add_argument("--jaccard", type=float, default=0.7, help="near-dups verify threshold")
     ap.add_argument("--ivf-cells", type=int, default=64, help="ann-index coarse centroid count")
+    ap.add_argument(
+        "--max-files-per-trigger", type=int, default=0,
+        help="(stream-ingest) bound files per micro-batch (0 = all available)",
+    )
     args = ap.parse_args(argv)
 
     spark = _spark(args)
@@ -188,7 +192,12 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("stream-ingest requires --run-dir (the stream checkpoint)")
         from quiver_spark import streaming
 
-        stream = streaming.read_stream_like(spark, args.input)
+        opts = (
+            {"maxFilesPerTrigger": str(args.max_files_per_trigger)}
+            if args.max_files_per_trigger
+            else {}
+        )
+        stream = streaming.read_stream_like(spark, args.input, **opts)
         q = streaming.incremental_ingest(stream, args.output, args.run_dir)
         q.awaitTermination()
         g = streaming.load_incremental_graph(spark, args.output)

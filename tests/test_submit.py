@@ -316,3 +316,71 @@ def test_submit_stream_ingest_incremental_resume(tmp_path, spark):
     finally:
         ing.release_source_caches(g_ref)
     assert out1["vertices"] <= out2["vertices"]
+
+
+def test_submit_stream_ingest_kill_resume_equals_batch(tmp_path, spark):
+    """SIGKILL stream-ingest mid-run (after the first micro-batch's
+    LAST sink lands but racing its checkpoint commit — the exact
+    replay window the per-batch overwrite pattern exists for), then
+    re-submit: the assembled graph must still equal batch ingest over
+    the full input. If the job wins the race and finishes first, the
+    equality assertions hold either way."""
+    import glob
+    import time
+
+    from quiver_spark import ingest as ing
+
+    repos = ing.synthesize_repo_table(spark, n_files=200, n_repos=4, seed=23)
+    feed = tmp_path / "feed"
+    repos.repartition(4).write.parquet(str(feed))
+    assert len(glob.glob(str(feed / "part-*"))) == 4
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    import package
+
+    zip_path = package.build(str(tmp_path / "quiver_spark.zip"))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["SPARK_GRAFT_CPUS"] = "4"
+    out_dir = str(tmp_path / "graph")
+    args = [
+        spark_submit,
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        os.path.join(ROOT, "jobs", "run.py"),
+        "stream-ingest",
+        "--input", str(feed),
+        "--output", out_dir,
+        "--run-dir", str(tmp_path / "stream_ckpt"),
+        "--max-files-per-trigger", "1",
+    ]
+    proc = subprocess.Popen(
+        args, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env, cwd=str(tmp_path)
+    )
+    deadline = time.monotonic() + 300
+    while time.monotonic() < deadline and proc.poll() is None:
+        if glob.glob(f"{out_dir}/imports/batch=0/part-*"):
+            proc.kill()
+            proc.wait()
+            break
+        time.sleep(0.1)
+    else:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+            pytest.fail("first micro-batch output never appeared within 300s")
+
+    out = _submit(
+        tmp_path,
+        "stream-ingest",
+        "--input", str(feed),
+        "--output", out_dir,
+        "--run-dir", str(tmp_path / "stream_ckpt"),
+        "--max-files-per-trigger", "1",
+    )
+    g_ref = ing.ingest(spark.read.parquet(str(feed)))
+    try:
+        assert out["vertices"] == g_ref.count_nodes()
+        assert out["edges"] == g_ref.count_edges()
+    finally:
+        ing.release_source_caches(g_ref)
