@@ -255,16 +255,27 @@ def pagerank(
     # that no longer exist are dropped by the inner semantics of the
     # left join (ids is the authority on the vertex set).
     if init_ranks is not None:
-        warm = ids.join(init_ranks.select("id", F.col("rank").alias("_r0")), "id", "left").select(
-            "id", F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("rank"), "dang"
-        )
+        # dropDuplicates: a non-unique init table would fan the state
+        # out through the left join (one state-sized shuffle, once)
+        warm = ids.join(
+            init_ranks.select("id", F.col("rank").alias("_r0")).dropDuplicates(["id"]),
+            "id",
+            "left",
+        ).select("id", F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("rank"), "dang")
         # renormalize to total mass 1 (the fixpoint's invariant): a
         # graph delta leaves the carried-over ranks summing to ≠ 1, and
         # that mass error would otherwise decay only at the damping
-        # rate — one one-time agg removes the whole error mode
+        # rate — one one-time agg removes the whole error mode. A
+        # degenerate init (total ≤ 0: all-zero or negative ranks) falls
+        # back to the uniform start instead of dividing by zero.
         total = F.broadcast(warm.agg(F.sum("rank").alias("_tot")))
         state0 = warm.crossJoin(total).select(
-            "id", (F.col("rank") / F.col("_tot")).alias("rank"), "dang", F.lit(0.0).alias("delta")
+            "id",
+            F.when(F.col("_tot") > 0, F.col("rank") / F.col("_tot"))
+            .otherwise(F.lit(1.0 / n))
+            .alias("rank"),
+            "dang",
+            F.lit(0.0).alias("delta"),
         )
     else:
         state0 = ids.select("id", F.lit(1.0 / n).alias("rank"), "dang", F.lit(0.0).alias("delta"))

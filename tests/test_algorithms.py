@@ -521,3 +521,19 @@ def test_pagerank_warm_start_at_fixpoint_is_one_superstep(two_cliques_bridge):
     again = pagerank(two_cliques_bridge, tol=1e-9, max_iters=200, init_ranks=base.state)
     assert again.converged
     assert again.supersteps == 1
+
+
+def test_pagerank_warm_start_degenerate_init_falls_back_to_uniform(spark, two_cliques_bridge):
+    """A duplicate-id or all-zero init table must not corrupt the run:
+    duplicates are dropped before the state join, and a total-mass ≤ 0
+    init falls back to the uniform start (no division by zero)."""
+    zeros = two_cliques_bridge.vertices.select("id", F.lit(0.0).alias("rank"))
+    dup_zeros = zeros.unionByName(zeros)  # duplicates AND degenerate mass
+    warm = pagerank(two_cliques_bridge, tol=1e-9, max_iters=200, init_ranks=dup_zeros)
+    cold = pagerank(two_cliques_bridge, tol=1e-9, max_iters=200)
+    cold_ranks = {r["id"]: r["rank"] for r in cold.state.collect()}
+    warm_ranks = {r["id"]: r["rank"] for r in warm.state.collect()}
+    assert warm.converged
+    assert set(warm_ranks) == set(cold_ranks)  # no fan-out from duplicate ids
+    for v, rank in cold_ranks.items():
+        assert math.isclose(rank, warm_ranks[v], rel_tol=0, abs_tol=1e-8), v
