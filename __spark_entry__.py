@@ -41,6 +41,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (where SQL-expressible)."""
-    from quiver_spark.queries import ORACLES
+    from quiver_spark.queries import _REPO_ORACLE_SF_DIR, ORACLES, materialize_repo_table
 
+    # the repo_* oracles read the deterministic synthetic repo table
+    # from parquet; write it here (idempotent, Spark-free) so the SQL
+    # is runnable even if DuckDB goes first
+    materialize_repo_table(_REPO_ORACLE_SF_DIR)
     return dict(ORACLES)

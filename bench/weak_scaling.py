@@ -96,7 +96,14 @@ def main() -> None:
         "per_edge_cost_ratio": round(ratio, 3),
         "min_step_ns_per_edge": [r["min_step_ns_per_edge"] for r in rows],
         "min_step_cost_ratio": round(min_ratio, 3),
-        "linear": min(ratio, min_ratio) <= 1.15,
+        # per-estimator verdicts: the two disagree exactly when per-round
+        # work is data-dependent (lp's settling phase — see BENCH/BASELINE.md
+        # weak-scaling analysis), so a single flag would hide which
+        # estimator carried the PASS. linear_best_estimator keeps the old
+        # "either estimator within 1.15" reading under an honest name.
+        "linear_windowed": ratio <= 1.15,
+        "linear_min_step": min_ratio <= 1.15,
+        "linear_best_estimator": min(ratio, min_ratio) <= 1.15,
     }
     print(json.dumps(summary))
 

@@ -108,6 +108,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
+    if args.init_ranks and args.num_iters:
+        # --num-iters exists for bit-comparable oracle runs (exactly K
+        # supersteps from the uniform start); a warm start makes the
+        # K-step output depend on the init table, silently defeating
+        # that purpose (ADVICE r4). Warm starts converge-to-tolerance.
+        ap.error("--init-ranks (warm start) cannot be combined with "
+                 "--num-iters (fixed-iteration oracle mode); use --tol")
+
     spark = _spark(args)
     from quiver_spark.superstep import SuperstepRunner
     from quiver_spark.table_io import TableIO

@@ -256,12 +256,23 @@ def pagerank(
     # left join (ids is the authority on the vertex set).
     if init_ranks is not None:
         # dropDuplicates: a non-unique init table would fan the state
-        # out through the left join (one state-sized shuffle, once)
-        warm = ids.join(
-            init_ranks.select("id", F.col("rank").alias("_r0")).dropDuplicates(["id"]),
-            "id",
-            "left",
-        ).select("id", F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("rank"), "dang")
+        # out through the left join (one state-sized shuffle, once).
+        # Deduped ONCE into a persisted frame: the mass total below and
+        # the state0 join both consume it, and dropDuplicates on a
+        # duplicate-id table with differing ranks is free to pick a
+        # different survivor per evaluation — two independent
+        # evaluations could disagree, leaving state0's total ≠ the
+        # measured _tot and breaking the renormalize-to-1 invariant
+        # (ADVICE r4). Persisting pins one survivor set for both.
+        init0 = (
+            init_ranks.select("id", F.col("rank").alias("_r0"))
+            .dropDuplicates(["id"])
+            .persist()
+        )
+        persisted.append(init0)
+        warm = ids.join(init0, "id", "left").select(
+            "id", F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("rank"), "dang"
+        )
         # renormalize to total mass 1 (the fixpoint's invariant): a
         # graph delta leaves the carried-over ranks summing to ≠ 1, and
         # that mass error would otherwise decay only at the damping

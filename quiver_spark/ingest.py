@@ -98,6 +98,91 @@ def _row_fields(idx: np.ndarray, n_files: int, n_repos: int, seed: int):
     return repo, path, lang, repo_idx
 
 
+def _repo_batch(
+    idx: np.ndarray,
+    n_files: int,
+    n_repos: int,
+    seed: int,
+    max_imports: int,
+    dup_commit_frac: float,
+) -> pd.DataFrame:
+    """One batch of synthetic repo rows for the given file indices —
+    a pure function of (idx, params), shared verbatim by the Spark
+    mapInPandas path and :func:`synthesize_repo_pandas` (the Spark-free
+    twin the DuckDB oracles read), so the two are identical by
+    construction; tests/test_ingest.py pins the equality anyway."""
+    idx = idx.astype(np.uint64)
+    base = idx + np.uint64(seed) * np.uint64(1_000_003)
+    repo, path, lang, _ = _row_fields(idx, n_files, n_repos, seed)
+
+    # ~dup_commit_frac of rows are a 2nd commit of row idx-1
+    is_dup = (_unit(base, 4) < dup_commit_frac) & (idx > 0)
+    pidx = np.where(is_dup, idx - 1, idx).astype(np.uint64)
+    prepo, ppath, plang, _ = _row_fields(pidx, n_files, n_repos, seed)
+    repo = np.where(is_dup, prepo, repo)
+    path = np.where(is_dup, ppath, path)
+    lang = np.where(is_dup, plang, lang)
+    commit_no = np.where(is_dup, 1, 0)
+    csel = np.where(commit_no == 1, _mix(pidx, 78), _mix(pidx, 77))
+    commit = np.array([f"{c:016x}" for c in csel])
+
+    # imports: power-law target popularity (cube of a uniform
+    # keeps most probability mass on low file ids). All hash
+    # math is batch-vectorized per import slot j (per-row
+    # 1-element numpy calls dominated the generator's wall);
+    # the target's "repo_NNNN/fT" string is the closed form of
+    # _row_fields' repo + filename stem for index T.
+    n_imp = (_unit(base, 5) * (max_imports + 1)).astype(np.int64)
+    pidx_i = pidx.astype(np.int64)
+    imp_cols: list[list[str]] = []
+    for j in range(max_imports):
+        t = (n_files * _unit(pidx, 100 + j) ** 3).astype(np.int64)
+        t = np.where(t == pidx_i, (t + 1) % n_files, t)
+        tbase = t.astype(np.uint64) + np.uint64(seed) * np.uint64(1_000_003)
+        trid = (n_repos * _unit(tbase, 1) ** 2).astype(np.int64)
+        imp_cols.append(
+            [f"import repo_{r:04d}/f{v}" for r, v in zip(trid, t)]
+        )
+    fsel = np.where(commit_no == 1, _mix(pidx, 1000), _mix(pidx, 999))
+    tails = [f"def body_{x:016x}(): pass" for x in fsel]
+    contents = []
+    for i in range(len(idx)):
+        lines = [f"// {repo[i]}/{path[i]} @ {commit[i]}"]
+        for j in range(int(n_imp[i])):
+            lines.append(imp_cols[j][i])
+        lines.append(tails[i])
+        contents.append("\n".join(lines))
+
+    return pd.DataFrame(
+        {
+            "repo": repo,
+            "path": path,
+            "commit": commit,
+            "lang": lang,
+            "content": contents,
+        }
+    )
+
+
+def synthesize_repo_pandas(
+    n_files: int = 10_000,
+    n_repos: int = 50,
+    seed: int = 42,
+    max_imports: int = 6,
+    dup_commit_frac: float = 0.15,
+) -> pd.DataFrame:
+    """Spark-free twin of :func:`synthesize_repo_table`: the same
+    row-index → row function over ``arange(n_files)``. Exists so the
+    DuckDB value oracles for the flagship ingest→PageRank/CC
+    composition (queries.py ``repo_*``) can materialize the identical
+    input table without a SparkSession — the generator is a pure
+    function of the row index, so partitioning cannot change a byte."""
+    return _repo_batch(
+        np.arange(n_files, dtype=np.uint64),
+        n_files, n_repos, seed, max_imports, dup_commit_frac,
+    )
+
+
 def synthesize_repo_table(
     spark: SparkSession,
     n_files: int = 10_000,
@@ -111,56 +196,9 @@ def synthesize_repo_table(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            idx = pdf["id"].to_numpy(dtype=np.uint64)
-            base = idx + np.uint64(seed) * np.uint64(1_000_003)
-            repo, path, lang, _ = _row_fields(idx, n_files, n_repos, seed)
-
-            # ~dup_commit_frac of rows are a 2nd commit of row idx-1
-            is_dup = (_unit(base, 4) < dup_commit_frac) & (idx > 0)
-            pidx = np.where(is_dup, idx - 1, idx).astype(np.uint64)
-            prepo, ppath, plang, _ = _row_fields(pidx, n_files, n_repos, seed)
-            repo = np.where(is_dup, prepo, repo)
-            path = np.where(is_dup, ppath, path)
-            lang = np.where(is_dup, plang, lang)
-            commit_no = np.where(is_dup, 1, 0)
-            csel = np.where(commit_no == 1, _mix(pidx, 78), _mix(pidx, 77))
-            commit = np.array([f"{c:016x}" for c in csel])
-
-            # imports: power-law target popularity (cube of a uniform
-            # keeps most probability mass on low file ids). All hash
-            # math is batch-vectorized per import slot j (per-row
-            # 1-element numpy calls dominated the generator's wall);
-            # the target's "repo_NNNN/fT" string is the closed form of
-            # _row_fields' repo + filename stem for index T.
-            n_imp = (_unit(base, 5) * (max_imports + 1)).astype(np.int64)
-            pidx_i = pidx.astype(np.int64)
-            imp_cols: list[list[str]] = []
-            for j in range(max_imports):
-                t = (n_files * _unit(pidx, 100 + j) ** 3).astype(np.int64)
-                t = np.where(t == pidx_i, (t + 1) % n_files, t)
-                tbase = t.astype(np.uint64) + np.uint64(seed) * np.uint64(1_000_003)
-                trid = (n_repos * _unit(tbase, 1) ** 2).astype(np.int64)
-                imp_cols.append(
-                    [f"import repo_{r:04d}/f{v}" for r, v in zip(trid, t)]
-                )
-            fsel = np.where(commit_no == 1, _mix(pidx, 1000), _mix(pidx, 999))
-            tails = [f"def body_{x:016x}(): pass" for x in fsel]
-            contents = []
-            for i in range(len(idx)):
-                lines = [f"// {repo[i]}/{path[i]} @ {commit[i]}"]
-                for j in range(int(n_imp[i])):
-                    lines.append(imp_cols[j][i])
-                lines.append(tails[i])
-                contents.append("\n".join(lines))
-
-            yield pd.DataFrame(
-                {
-                    "repo": repo,
-                    "path": path,
-                    "commit": commit,
-                    "lang": lang,
-                    "content": contents,
-                }
+            yield _repo_batch(
+                pdf["id"].to_numpy(dtype=np.uint64),
+                n_files, n_repos, seed, max_imports, dup_commit_frac,
             )
 
     num_partitions = num_partitions or max(8, spark.sparkContext.defaultParallelism)

@@ -155,3 +155,26 @@ def test_root_paths_and_null_content(spark):
     assert nulls["imps"] == []
     # and the import from f1 to f2 resolved
     assert g.edges.filter(F.col("etype") == "imports").count() == 1
+
+
+def test_synthesize_pandas_twin_matches_spark(spark):
+    """The Spark-free generator twin (synthesize_repo_pandas) must be
+    bit-identical to the mapInPandas path: the repo_* DuckDB value
+    oracles materialize their input parquet through the twin, so any
+    divergence would silently decouple the oracle's graph from the
+    one the Spark queries ingest. Shared code makes this true by
+    construction; this pins it against refactors."""
+    import pandas as pd
+
+    sdf = (
+        ing.synthesize_repo_table(spark, n_files=400, n_repos=10, seed=7, num_partitions=8)
+        .toPandas()
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+    pdf = (
+        ing.synthesize_repo_pandas(n_files=400, n_repos=10, seed=7)
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sdf, pdf)

@@ -50,6 +50,25 @@ def _submit(tmp_path, *job_args: str) -> dict:
     return json.loads(line)
 
 
+def test_cli_rejects_warm_start_with_fixed_iters(tmp_path):
+    """--init-ranks + --num-iters is rejected at parse time (ADVICE r4):
+    a warm start under a pinned superstep count yields init-dependent
+    ranks, defeating the bit-comparable-oracle purpose of --num-iters.
+    In-process (argparse errors before any SparkSession is built)."""
+    sys.path.insert(0, os.path.join(ROOT, "jobs"))
+    import run as job_run
+
+    with pytest.raises(SystemExit) as exc:
+        job_run.main([
+            "pagerank",
+            "--input", str(tmp_path / "nope"),
+            "--output", str(tmp_path / "out"),
+            "--num-iters", "5",
+            "--init-ranks", str(tmp_path / "ranks"),
+        ])
+    assert exc.value.code == 2
+
+
 def test_submit_pagerank_job_and_resume(tmp_path):
     res = _submit(
         tmp_path,
