@@ -158,15 +158,15 @@ def connected_components(
     total = num_iters if fixed else max_iters
     state0 = graph.vertices.select("id", F.col("id").alias("component"))
     if strategy == "auto":
-        # tiny graphs: mirror fixed costs dominate → smj (measured
-        # 14.5s vs 19.0s on the 200k-edge repo graph); mirror while
-        # state is broadcast-sized; cogrouped CSR beyond (state never
-        # has to fit in one place — same tiering as pagerank)
-        if graph.edges.count() < 2_000_000:
-            strategy = "smj"
-        else:
-            n = graph.vertices.count()
-            strategy = "bhj" if n <= 50_000_000 else "csr"
+        # shared conf-driven tiering (quiver_spark.tiering): tiny →
+        # smj, mirror-sized → spark.quiver.auto.mirrorStrategy (bhj
+        # default), beyond-broadcast → cogrouped CSR. The vertex count
+        # is passed lazily — the tiny tier decides on edges alone.
+        from quiver_spark import tiering
+
+        strategy = tiering.auto_strategy(
+            spark, graph.edges.count(), lambda: graph.vertices.count()
+        )
 
     n_blocks = n_blocks or max(spark.sparkContext.defaultParallelism, 8)
     if strategy == "bhj":

@@ -116,13 +116,14 @@ def label_propagation(
     spark = graph.spark
     runner = runner or SuperstepRunner(spark)
     if strategy == "auto":
-        # tiny graphs: mirror fixed costs dominate → smj (measured
-        # 12.2s vs 16.3s on the 200k-edge repo graph); mirror-sized →
-        # bhj; beyond-broadcast → cogrouped-CSR histogram kernel
-        if graph.edges.count() < 2_000_000:
-            strategy = "smj"
-        else:
-            strategy = "bhj" if graph.vertices.count() <= 50_000_000 else "csr"
+        # shared conf-driven tiering (quiver_spark.tiering): tiny →
+        # smj, mirror-sized → spark.quiver.auto.mirrorStrategy (bhj
+        # default), beyond-broadcast → cogrouped-CSR histogram kernel
+        from quiver_spark import tiering
+
+        strategy = tiering.auto_strategy(
+            spark, graph.edges.count(), lambda: graph.vertices.count()
+        )
     if direction == "both":
         msgs_edges = (
             graph.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))

@@ -134,31 +134,27 @@ def pagerank(
         ids.unpersist()
         return SuperstepResult(state=spark.createDataFrame([], "id long, rank double"), supersteps=0)
     if strategy == "auto":
-        # three measured regimes (BENCH/BASELINE.md):
-        # - tiny graphs (< ~2M edges): the mirror strategies' fixed
-        #   per-superstep costs (broadcast build, block layout)
-        #   dominate — plain smj with AQE-coalesced shuffles is ~2x
-        #   faster (15.4s vs 34.8s on the 200k-edge sf0.1 repo graph);
-        # - mirror range: state resident per executor at ~16 B/vertex
-        #   (50M vertices ≈ 800 MB broadcast); bhj measured fastest AND
-        #   best-scaling of the mirror strategies at 80M edges;
-        # - beyond-broadcast: cogrouped CSR — state never has to fit
-        #   in one place.
-        m = graph.edges.count()
-        if m < 2_000_000:
-            strategy = "smj"
-            if n_salts is None:
-                # default degree-proportional salting on the auto-smj
-                # tier: the sketch is one map-side-combined groupBy on
-                # the static edge frame, and with no key above the
-                # frequency floor it is empty — salted_sum then runs
-                # every key at modulus 1, so a uniform graph pays ~0
-                # while a power-law dst fans across reducer cells
-                n_salts = "auto"
-        elif n <= 50_000_000:
-            strategy = "bhj"
-        else:
-            strategy = "csr"
+        # conf-driven three-regime tiering, shared with components /
+        # labelprop — thresholds, their measured local[32] defaults,
+        # and the spark.quiver.auto.* override knobs live in
+        # quiver_spark.tiering (round-5: one source of truth instead
+        # of three hardcoded copies)
+        from quiver_spark import tiering
+
+        strategy = tiering.auto_strategy(
+            spark,
+            graph.edges.count(),
+            n,
+            mirror_allowed=("bhj", "csr_bcast", "csr_packed", "csr"),
+        )
+        if strategy == "smj" and n_salts is None:
+            # default degree-proportional salting on the auto-smj
+            # tier: the sketch is one map-side-combined groupBy on
+            # the static edge frame, and with no key above the
+            # frequency floor it is empty — salted_sum then runs
+            # every key at modulus 1, so a uniform graph pays ~0
+            # while a power-law dst fans across reducer cells
+            n_salts = "auto"
 
     # reusable weighted edge frame: each edge instance carries 1/outdeg(src)
     edges_w = (

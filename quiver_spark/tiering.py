@@ -1,0 +1,132 @@
+"""Shared auto-strategy tiering for the iterative flagships (PageRank,
+connected components, label propagation) — ONE source of truth for the
+three-regime decision that used to live as hardcoded constants in each
+algorithm (round-5 verdict item 3).
+
+Three measured regimes (BENCH/BASELINE.md):
+
+- **tiny** (edges < smj threshold): the mirror strategies' fixed
+  per-superstep costs (broadcast build, block layout) dominate — plain
+  smj with AQE-coalesced shuffles is ~2x faster (15.4 s vs 34.8 s on
+  the 200k-edge sf0.1 repo graph).
+- **mirror** (state fits the per-executor budget): the full vertex
+  state is resident per executor at ~16 B/vertex. ``bhj`` is the
+  default (measured best-scaling of the mirror strategies at 80M
+  edges: 0.83–0.92 at 4→16); ``csr_packed`` measured ~2x faster in
+  absolute edges/s on the same input but scaled worse on this box —
+  a cluster operator can flip the trade per job with
+  ``spark.quiver.auto.mirrorStrategy`` (verdict item 7).
+- **beyond** (state exceeds the budget): cogrouped CSR — the state
+  never has to fit in any single place.
+
+Thresholds are conf-driven instead of baked in, so a 100 TB operator
+retunes with ``--conf`` instead of editing source:
+
+- ``spark.quiver.auto.smjMaxEdges`` — edge count below which auto
+  picks smj. Default 2,000,000 (measured local[32] crossover; the
+  regime boundary is fixed-cost-vs-work, not memory, so there is no
+  principled derivation from the session — it is a measured constant
+  with an override knob).
+- ``spark.quiver.auto.mirrorMaxVertices`` — vertex count above which
+  auto abandons the mirror tier. When unset, DERIVED from the
+  executor heap: 10% of ``spark.executor.memory`` (falling back to
+  ``spark.driver.memory`` in local mode) divided by ~16 B/vertex —
+  the broadcast lives once per executor and must leave headroom for
+  shuffle and cache. On the 8g local default this derives ≈53.7M,
+  matching the measured 50M local[32] constant (the final fallback
+  when neither memory conf is readable).
+- ``spark.quiver.auto.mirrorStrategy`` — which strategy the mirror
+  tier runs. Default ``bhj``. Validated against the calling
+  algorithm's strategy set (pagerank additionally accepts
+  ``csr_bcast`` / ``csr_packed``); an unsupported value raises rather
+  than silently falling back.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+
+SMJ_MAX_EDGES_KEY = "spark.quiver.auto.smjMaxEdges"
+MIRROR_MAX_VERTICES_KEY = "spark.quiver.auto.mirrorMaxVertices"
+MIRROR_STRATEGY_KEY = "spark.quiver.auto.mirrorStrategy"
+
+DEFAULT_SMJ_MAX_EDGES = 2_000_000
+DEFAULT_MIRROR_MAX_VERTICES = 50_000_000  # ≈800 MB at 16 B/vertex
+MIRROR_BYTES_PER_VERTEX = 16
+MIRROR_HEAP_FRACTION = 0.10
+
+_UNITS = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_mem(raw: str) -> int | None:
+    """'8g' / '512m' / '1048576' → bytes (Spark JVM memory syntax)."""
+    s = raw.strip().lower()
+    if not s:
+        return None
+    if s[-1] in _UNITS:
+        num, unit = s[:-1], _UNITS[s[-1]]
+    else:
+        num, unit = s, 1
+    try:
+        return int(float(num) * unit)
+    except ValueError:
+        return None
+
+
+def _conf(spark: SparkSession, key: str) -> str | None:
+    try:
+        return spark.conf.get(key, None)
+    except Exception:  # noqa: BLE001 — unreadable conf == unset
+        return None
+
+
+def smj_max_edges(spark: SparkSession) -> int:
+    raw = _conf(spark, SMJ_MAX_EDGES_KEY)
+    return int(raw) if raw else DEFAULT_SMJ_MAX_EDGES
+
+
+def mirror_max_vertices(spark: SparkSession) -> int:
+    raw = _conf(spark, MIRROR_MAX_VERTICES_KEY)
+    if raw:
+        return int(raw)
+    for key in ("spark.executor.memory", "spark.driver.memory"):
+        mem = _parse_mem(_conf(spark, key) or "")
+        if mem:
+            return max(
+                int(mem * MIRROR_HEAP_FRACTION) // MIRROR_BYTES_PER_VERTEX,
+                1_000_000,
+            )
+    return DEFAULT_MIRROR_MAX_VERTICES
+
+
+def mirror_strategy(spark: SparkSession, allowed: tuple[str, ...]) -> str:
+    raw = _conf(spark, MIRROR_STRATEGY_KEY) or "bhj"
+    if raw not in allowed:
+        raise ValueError(
+            f"{MIRROR_STRATEGY_KEY}={raw!r} is not a mirror-tier strategy "
+            f"of this algorithm (allowed: {allowed})"
+        )
+    return raw
+
+
+def auto_strategy(
+    spark: SparkSession,
+    n_edges: int,
+    n_vertices: int | Callable[[], int],
+    mirror_allowed: tuple[str, ...] = ("bhj", "csr"),
+) -> str:
+    """Resolve ``strategy='auto'`` for an iterative flagship.
+
+    ``n_vertices`` may be a zero-arg callable so callers that decide
+    the tiny tier on the edge count alone never pay the vertex-count
+    action (components / labelprop do this; pagerank already has the
+    count from its dangling-flag build).
+    """
+    if n_edges < smj_max_edges(spark):
+        return "smj"
+    n = n_vertices() if callable(n_vertices) else n_vertices
+    if n <= mirror_max_vertices(spark):
+        return mirror_strategy(spark, mirror_allowed)
+    return "csr"
