@@ -118,10 +118,17 @@ def main() -> None:
     from quiver_spark import dedup, simsearch
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    extra["near_dup_pairs"] = timed(
-        "doc_near_dup_pipeline",
-        lambda: dedup.near_duplicate_pairs(docs, threshold=0.5).count(),
+    pairs = dedup.near_duplicate_pairs(docs, threshold=0.5).persist()
+    extra["near_dup_pairs"] = timed("doc_near_dup_pipeline", lambda: pairs.count())
+    # the 100 TB dedup deliverable's missing measured stage (round-5
+    # verdict item 6): verified pairs → distributed CC → canonical
+    # keep/drop table. Timed over precomputed pairs so the row isolates
+    # the clustering + doc-sized left join, not a re-run of minhash.
+    extra["dedup_dropped"] = timed(
+        "dedup_keep_table",
+        lambda: dedup.canonical_keep_table(docs, pairs).filter(~F.col("keep")).count(),
     )
+    pairs.unpersist()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
     def knn():

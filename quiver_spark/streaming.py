@@ -41,9 +41,13 @@ operators, Spark-first throughout:
   operator scales with the key space, not the stream length. Exact vs
   the batch twin (:func:`user_transitions`) when each user's events
   arrive in event-time order across micro-batches (within a batch the
-  kernel sorts, so intra-batch disorder is free); reordering ACROSS
-  batches would need a buffering watermark timeout — documented
-  limitation, not silent wrongness: the batch twin is the oracle.
+  kernel sorts, so intra-batch disorder is free). For feeds that CAN
+  reorder across batches, :func:`user_transitions_stream_buffered`
+  buffers per-user events until the event-time watermark passes them
+  (EventTimeTimeout flushes quiet keys) — exact for any disorder
+  bounded by the watermark delay, at the cost of ``delay`` of
+  emission latency; the unbuffered operator remains the low-latency
+  choice for in-order feeds.
 
 - **windowed counts** (:func:`windowed_type_counts_stream`): built-in
   tumbling-window aggregation with a watermark for late data — no
@@ -68,6 +72,7 @@ __all__ = [
     "load_incremental_graph",
     "user_transitions",
     "user_transitions_stream",
+    "user_transitions_stream_buffered",
     "windowed_type_counts",
     "windowed_type_counts_stream",
 ]
@@ -300,6 +305,97 @@ def user_transitions_stream(
     return (
         events.groupBy(user_col)
         .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+    )
+
+
+def user_transitions_stream_buffered(
+    events: DataFrame,
+    delay: str = "30 minutes",
+    user_col: str = "user_id",
+    value_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Cross-batch-disorder-tolerant twin of
+    :func:`user_transitions_stream` (round-5 verdict item 5: the fix a
+    production feed needs when events for one user can land in the
+    WRONG micro-batch order).
+
+    Mechanics: per user, arriving events are BUFFERED in state instead
+    of emitted immediately. A buffered event becomes emittable only
+    once the event-time watermark (max event time seen minus
+    ``delay``) has passed it — at that point no in-delay straggler can
+    still sort before it, so the (ts, id)-sorted flush order is final.
+    Flushes happen on new data for the key and, for keys that go
+    quiet, via an ``EventTimeTimeout`` set to the earliest buffered
+    event (the watermark advancing past it re-invokes the kernel with
+    no rows).
+
+    The trade, explicitly: **latency for completeness.** The
+    unbuffered operator emits a transition the micro-batch its event
+    arrives; this one emits it only after the watermark passes the
+    event — at least one micro-batch later, and ``delay`` of
+    event-time behind the stream head. In exchange the output equals
+    the batch twin for ANY feed whose per-user cross-batch disorder is
+    bounded by ``delay`` (equality-tested on a deliberately shuffled
+    feed in tests/test_streaming.py); events later than ``delay`` are
+    dropped by the watermark — standard late-data semantics, not
+    silent misordering.
+
+    State per user = last flushed value + the ≤``delay``-deep buffer:
+    bounded by the user's event rate within one delay window, not by
+    stream length."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, src string, dst string, ts timestamp"
+    state_schema = (
+        "last_val string, vals array<string>, tss array<long>, ids array<long>"
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.exists:
+            last_val, vals, tss, ids = state.get
+            vals, tss, ids = list(vals), list(tss), list(ids)
+        else:
+            last_val, vals, tss, ids = None, [], [], []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            vals.extend(str(v) for v in pdf[value_col])
+            tss.extend(int(t) for t in pdf[ts_col].astype("int64"))  # ns
+            ids.extend(int(i) for i in pdf[id_col])
+
+        order = sorted(range(len(vals)), key=lambda i: (tss[i], ids[i]))
+        flush = [i for i in order if tss[i] // 1_000_000 <= wm_ms]
+        keep = [i for i in order if tss[i] // 1_000_000 > wm_ms]
+
+        if flush:
+            fvals = [vals[i] for i in flush]
+            out = pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "src": [last_val] + fvals[:-1],
+                    "dst": fvals,
+                    "ts": pd.to_datetime([tss[i] for i in flush], unit="ns"),
+                }
+            )
+            last_val = fvals[-1]
+            yield out[out["src"].notna()]
+
+        state.update(
+            (last_val, [vals[i] for i in keep], [tss[i] for i in keep], [ids[i] for i in keep])
+        )
+        if keep:
+            # wake this key when the watermark passes its earliest
+            # buffered event, even if the user never sends again
+            state.setTimeoutTimestamp(tss[keep[0]] // 1_000_000)
+
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout)
     )
 
 

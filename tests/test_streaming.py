@@ -142,3 +142,76 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_buffered_transitions_exact_on_cross_batch_disorder(spark, tmp_path):
+    """The watermark-buffered operator must equal the batch twin on a
+    feed whose events are deliberately SHUFFLED ACROSS micro-batches
+    (disorder bounded by the watermark delay) — the case the
+    unbuffered operator documents as its limitation. Three files
+    stream one-per-trigger: each user's events are dealt round-robin
+    so consecutive events land in different batches in non-time order;
+    two far-future sentinel files advance the watermark past every
+    real event and trigger the EventTimeTimeout flush of quiet keys."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(6):
+        for k in range(12):
+            rows.append((u, f"t{(u + k) % 4}", base + dt.timedelta(minutes=3 * k + u), eid))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    ).persist()
+
+    stream_dir = tmp_path / "buf_in"
+    stream_dir.mkdir()
+    # deal each user's time-ordered events across 3 files round-robin,
+    # REVERSED file order: file a holds the latest thirds, so earlier
+    # events arrive in later micro-batches (true cross-batch disorder:
+    # the earliest event lands ~35 min of event-time behind the stream
+    # head, inside the 45 min delay — with delay=30min the watermark
+    # would rightly DROP it, which is how this fixture caught its own
+    # first draft)
+    for i, name in enumerate(("a", "b", "c")):
+        part = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == (2 - i))
+        _stage_single_file(part, str(tmp_path / f"s{i}"), str(stream_dir / f"{name}.parquet"))
+    far = base + dt.timedelta(days=2)
+    for j, name in enumerate(("zz1", "zz2")):
+        sentinel = spark.createDataFrame(
+            [(999, "end", far + dt.timedelta(minutes=j), 100000 + j)],
+            "user_id long, event_type string, ts timestamp, event_id long",
+        )
+        _stage_single_file(sentinel, str(tmp_path / f"sz{j}"), str(stream_dir / f"{name}.parquet"))
+
+    src = qstream.read_stream_like(spark, str(stream_dir), like=ev, maxFilesPerTrigger=1)
+    out = qstream.user_transitions_stream_buffered(src, delay="45 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("buf_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "bck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, src, dst, ts FROM buf_stream WHERE user_id != 999"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in qstream.user_transitions(ev)
+        .select("user_id", "src", "dst", F.col("ts").cast("timestamp"))
+        .collect()
+    )
+    assert got == want
+    # and the unbuffered operator would NOT have survived this feed —
+    # the disorder is real (sanity check on the fixture, not a law)
+    assert len(want) == 6 * 11
+    ev.unpersist()
