@@ -88,7 +88,7 @@ def oneshot(job, n_units, strategy_label, clear_cache=False):
     raise SystemExit(0)
 
 
-if algo in ("ingest", "neardup"):
+if algo in ("ingest", "neardup", "dedup_keep"):
     # doc-corpus one-shots. --edges is repurposed as the row count
     # (n_e files/docs); the corpus is the deterministic synthetic repo
     # table, written to parquet ONCE so the measured job starts from
@@ -106,7 +106,7 @@ if algo in ("ingest", "neardup"):
             g2 = ing.ingest(repos)
             return {"nodes": g2.count_nodes(), "edges": g2.count_edges()}
         oneshot(job, n_e, "one-content-scan", clear_cache=True)
-    else:
+    elif algo == "neardup":
         from quiver_spark import dedup
         docs = repos.selectExpr(
             "concat(repo, '/', path, '@', commit) as doc_id", "content as text"
@@ -117,6 +117,24 @@ if algo in ("ingest", "neardup"):
         oneshot(
             lambda: {"pairs": dedup.near_duplicate_pairs(docs, threshold=0.5).count()},
             n_e, "minhash-lsh", clear_cache=True,
+        )
+    else:
+        # dedup_keep: the clustering + keep-table stage of the dedup
+        # deliverable, isolated — verified pairs are precomputed to
+        # parquet ONCE (the neardup row above measures that stage), so
+        # the measured job is pairs -> distributed CC -> doc-sized
+        # keep/drop left join. Long doc ids (xxhash64) so the pair
+        # graph runs the same typed path the documents table does.
+        from quiver_spark import dedup
+        docs = repos.selectExpr("xxhash64(repo, path, commit) as doc_id", "content as text")
+        pairs_path = corpus + ".pairs_t05"
+        if not os.path.exists(os.path.join(pairs_path, "_SUCCESS")):
+            dedup.near_duplicate_pairs(docs, threshold=0.5).write.mode("overwrite").parquet(pairs_path)
+        pairs = spark.read.parquet(pairs_path)
+        from pyspark.sql import functions as F
+        oneshot(
+            lambda: {"dropped": dedup.canonical_keep_table(docs, pairs).filter(~F.col("keep")).count()},
+            n_e, "pairs-cc-keep", clear_cache=True,
         )
 
 edges = ing.synthesize_powerlaw_edges(spark, n_vertices=n_v, n_edges=n_e, seed=42)
@@ -217,13 +235,13 @@ def main() -> None:
                     help="scale the child heap with the level (N cores -> N*GB); 0 = constant 24g at every level")
     ap.add_argument(
         "--algo", default="pagerank",
-        choices=["pagerank", "cc", "cc_star", "lp", "triangles", "ingest", "neardup"],
+        choices=["pagerank", "cc", "cc_star", "lp", "triangles", "ingest", "neardup", "dedup_keep"],
     )
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
     # one-shot modes have a single physical plan; --strategy is
     # superstep-tier only. For doc modes --edges is the row count.
-    _ONESHOT_LABEL = {"triangles": "degree-oriented", "ingest": "one-content-scan", "neardup": "minhash-lsh"}
+    _ONESHOT_LABEL = {"triangles": "degree-oriented", "ingest": "one-content-scan", "neardup": "minhash-lsh", "dedup_keep": "pairs-cc-keep"}
     if args.algo in _ONESHOT_LABEL:
         args.strategy = _ONESHOT_LABEL[args.algo]
     from quiver_spark.boxprobe import box_control as _box_control
