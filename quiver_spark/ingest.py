@@ -471,13 +471,21 @@ def ingest(repos: DataFrame) -> Graph:
     g = Graph.safe_mk_graph(v, e, ids_unique=True)
     # expose the internal caches so long-lived sessions can reclaim
     # them (see release_source_caches) — without a handle each ingest()
-    # call strands three cached frames until the session dies
-    g._qs_source_caches = (slim, files, v)  # noqa: SLF001
+    # call strands cached frames until the session dies. `v` is NOT in
+    # the tuple: it IS g.vertices, whose cache lifecycle belongs to the
+    # caller (g.persist()/g.unpersist()) — listing it here made
+    # release_source_caches silently drop the caller's vertex cache,
+    # and every later vertex-side action recomputed the whole ingest
+    # DAG from the source scan (measured: a cached 65k-row vertex read
+    # cost 2.5 s instead of ~50 ms through the round-4/5 benches).
+    g._qs_source_caches = (slim, files)  # noqa: SLF001
     return g
 
 
 def release_source_caches(g: Graph) -> None:
-    """Unpersist the three internal frames :func:`ingest` caches.
+    """Unpersist the internal frames :func:`ingest` caches (the slim
+    content projection and the distinct-files table — NOT the graph's
+    own vertex frame, which the caller owns via ``g.persist()``).
 
     Call AFTER materializing whatever you need from the graph (e.g.
     ``g.persist()`` + a count, or a durable write) — the graph's vertex
