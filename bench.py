@@ -111,7 +111,14 @@ def main() -> None:
 
     timed("connected_components", lambda: connected_components(g, max_iters=50).state.count())
     timed("triangle_count", lambda: triangle_count(g))
-    timed("label_propagation_5", lambda: label_propagation(g, label_col="lang", num_iters=5).state.count())
+    # strategy="auto" like cc/pagerank above: the headline rows time the
+    # dispatcher's choice (at sf0.1's 196k edges that is the guarded
+    # driver-local tier — see algorithms/local_tier.py; the distributed
+    # throughput row is pagerank_powerlaw_fixed8 below, 5M+ edges)
+    timed(
+        "label_propagation_5",
+        lambda: label_propagation(g, label_col="lang", num_iters=5, strategy="auto").state.count(),
+    )
     timed("pagerank_hierarchy_oracle_q", lambda: q_pagerank_hierarchy(spark, sf_dir).count())
 
     # --- training-data pipeline layer at bench scale ---

@@ -90,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iters", type=int, default=100)
     ap.add_argument("--num-iters", type=int, default=None, help="fixed superstep count (oracle mode)")
-    ap.add_argument("--strategy", default="auto", help="physical strategy for pagerank/components/labelprop (auto/smj/bhj/csr/...)")
+    ap.add_argument("--strategy", default="auto", help="physical strategy for pagerank/components/labelprop (auto/local/smj/bhj/csr/...; with --run-dir, auto never picks the driver-local tier — durable resume is a distributed-runner contract)")
     ap.add_argument("--checkpoint-every", type=int, default=5)
     ap.add_argument(
         "--init-ranks",

@@ -147,8 +147,10 @@ def connected_components(
     the per-dst min through the pre-resolved index (~4 B/edge memcpy
     per superstep; the kernel emits each block vertex's own/old
     component off the packed vid list, so fallback + change detection
-    need no extra join). ``auto`` tiers tiny → smj, mirror-sized
-    → bhj, beyond → csr.
+    need no extra join). ``auto`` tiers tiny → local (guarded
+    driver-numpy HashMin, algorithms/local_tier.py; smj when a durable
+    run_dir needs distributed lineage), mirror-sized → bhj, beyond →
+    csr.
     """
     if algorithm == "two_phase":
         return _two_phase_cc(graph, max_iters=max_iters, runner=runner)
@@ -165,8 +167,25 @@ def connected_components(
         from quiver_spark import tiering
 
         strategy = tiering.auto_strategy(
-            spark, graph.edges.count(), lambda: graph.vertices.count()
+            spark,
+            graph.edges.count(),
+            lambda: graph.vertices.count(),
+            allow_local=runner.run_dir is None,
         )
+    if strategy == "local":
+        # driver-local numpy HashMin (algorithms/local_tier.py):
+        # guarded Arrow collect; fixed mode is exactly num_iters
+        # HashMin rounds (oracle-comparable), fixpoint mode pointer-
+        # jumps (same fixpoint as star escalation, so escalate_after
+        # is moot — depth converges in O(log n) rounds regardless)
+        from quiver_spark.algorithms import local_tier
+
+        if runner.run_dir is not None:
+            raise ValueError(
+                "strategy='local' keeps state in the driver; durable "
+                "checkpoint/resume (run_dir) needs a distributed strategy"
+            )
+        return local_tier.cc_local(graph, max_iters=max_iters, num_iters=num_iters)
 
     n_blocks = n_blocks or max(spark.sparkContext.defaultParallelism, 8)
     if strategy == "bhj":

@@ -111,7 +111,9 @@ def label_propagation(
     flag, so fixpoint mode pays no per-round state join (the pattern
     CC uses, components.py ``_cc_csr_kernel``). ``csr`` does the same
     through the cogrouped Arrow kernel's ``is_old`` rows.
-    ``auto`` mirrors while the state is broadcast-sized.
+    ``auto`` runs tiny graphs on the guarded driver-numpy tier
+    (``local``, algorithms/local_tier.py) and mirrors while the
+    state is broadcast-sized.
     """
     spark = graph.spark
     runner = runner or SuperstepRunner(spark)
@@ -122,7 +124,25 @@ def label_propagation(
         from quiver_spark import tiering
 
         strategy = tiering.auto_strategy(
-            spark, graph.edges.count(), lambda: graph.vertices.count()
+            spark,
+            graph.edges.count(),
+            lambda: graph.vertices.count(),
+            allow_local=runner.run_dir is None,
+        )
+    if strategy == "local":
+        # driver-local numpy votes (algorithms/local_tier.py): guarded
+        # Arrow collect; identical argmax/(count desc, label asc)
+        # semantics via lex-ordered codes — equality-tested vs smj
+        from quiver_spark.algorithms import local_tier
+
+        if runner.run_dir is not None:
+            raise ValueError(
+                "strategy='local' keeps state in the driver; durable "
+                "checkpoint/resume (run_dir) needs a distributed strategy"
+            )
+        return local_tier.lp_local(
+            graph, label_col=label_col, num_iters=num_iters,
+            max_iters=max_iters, direction=direction,
         )
     if direction == "both":
         msgs_edges = (

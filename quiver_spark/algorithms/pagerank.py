@@ -111,14 +111,61 @@ def pagerank(
     unique stationary vector) in far fewer supersteps when the graph
     changed little. New vertices default to 1/n.
 
-    ``strategy`` ∈ {"auto", "smj", "bhj", "csr", "csr_bcast"} — see
-    module docstring. ``use_csr=True`` is the legacy spelling of
-    ``strategy="csr"``.
+    ``strategy`` ∈ {"auto", "local", "smj", "bhj", "csr", "csr_bcast",
+    "csr_packed"} — see module docstring; ``local`` is the guarded
+    driver-numpy tiny tier (algorithms/local_tier.py), which ``auto``
+    picks for graphs at or under ``spark.quiver.auto.localMaxEdges``
+    when no durable run_dir is in play. ``use_csr=True`` is the legacy
+    spelling of ``strategy="csr"``.
     """
     spark = graph.spark
     runner = runner or SuperstepRunner(spark)
     if strategy is None:
         strategy = "csr" if use_csr else "smj"
+
+    if strategy == "auto":
+        # conf-driven three-regime tiering, shared with components /
+        # labelprop — thresholds, their measured local[32] defaults,
+        # and the spark.quiver.auto.* override knobs live in
+        # quiver_spark.tiering (round-5: one source of truth instead
+        # of three hardcoded copies). Resolved BEFORE the dangling-flag
+        # frame is built: the local tier recomputes out-degrees from
+        # the collected arrays, so building `ids` first would pay a
+        # distributed anti-join+union for nothing on the tiny tier.
+        from quiver_spark import tiering
+
+        strategy = tiering.auto_strategy(
+            spark,
+            graph.edges.count(),
+            lambda: graph.vertices.count(),
+            mirror_allowed=("bhj", "csr_bcast", "csr_packed", "csr"),
+            allow_local=runner.run_dir is None,
+        )
+        if strategy == "smj" and n_salts is None:
+            # default degree-proportional salting on the auto-smj
+            # tier: the sketch is one map-side-combined groupBy on
+            # the static edge frame, and with no key above the
+            # frequency floor it is empty — salted_sum then runs
+            # every key at modulus 1, so a uniform graph pays ~0
+            # while a power-law dst fans across reducer cells
+            n_salts = "auto"
+
+    if strategy == "local":
+        # driver-local numpy tier (algorithms/local_tier.py): guarded
+        # Arrow collect, no per-superstep distributed scheduling. auto
+        # only routes here for in-memory runners; an explicit request
+        # under a durable runner is a contract error, not a fallback.
+        from quiver_spark.algorithms import local_tier
+
+        if runner.run_dir is not None:
+            raise ValueError(
+                "strategy='local' keeps state in the driver; durable "
+                "checkpoint/resume (run_dir) needs a distributed strategy"
+            )
+        return local_tier.pagerank_local(
+            graph, damping=damping, tol=tol, num_iters=num_iters,
+            max_iters=max_iters, init_ranks=init_ranks,
+        )
 
     out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("od"))
     # vertex frame with the dangling flag baked in: (id, dang)
@@ -133,28 +180,6 @@ def pagerank(
     if n == 0:
         ids.unpersist()
         return SuperstepResult(state=spark.createDataFrame([], "id long, rank double"), supersteps=0)
-    if strategy == "auto":
-        # conf-driven three-regime tiering, shared with components /
-        # labelprop — thresholds, their measured local[32] defaults,
-        # and the spark.quiver.auto.* override knobs live in
-        # quiver_spark.tiering (round-5: one source of truth instead
-        # of three hardcoded copies)
-        from quiver_spark import tiering
-
-        strategy = tiering.auto_strategy(
-            spark,
-            graph.edges.count(),
-            n,
-            mirror_allowed=("bhj", "csr_bcast", "csr_packed", "csr"),
-        )
-        if strategy == "smj" and n_salts is None:
-            # default degree-proportional salting on the auto-smj
-            # tier: the sketch is one map-side-combined groupBy on
-            # the static edge frame, and with no key above the
-            # frequency floor it is empty — salted_sum then runs
-            # every key at modulus 1, so a uniform graph pays ~0
-            # while a power-law dst fans across reducer cells
-            n_salts = "auto"
 
     # reusable weighted edge frame: each edge instance carries 1/outdeg(src)
     edges_w = (

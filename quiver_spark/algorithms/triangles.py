@@ -81,8 +81,27 @@ def _triangle_triples(graph: Graph) -> DataFrame:
     return out
 
 
-def triangle_count(graph: Graph) -> int:
-    """Exact global triangle count."""
+def triangle_count(graph: Graph, strategy: str = "auto") -> int:
+    """Exact global triangle count.
+
+    ``strategy``: ``auto`` routes graphs at or under
+    ``spark.quiver.auto.localMaxEdges`` to the guarded driver-numpy
+    compact-forward kernel (algorithms/local_tier.py — one-shot op,
+    so there is no runner/resume concern); ``local`` / ``dist``
+    force a tier. Both count the identical simple-undirected-graph
+    triangles (equality-tested)."""
+    if strategy == "auto":
+        from quiver_spark import tiering
+
+        strategy = (
+            "local"
+            if graph.edges.count() <= tiering.local_max_edges(graph.spark)
+            else "dist"
+        )
+    if strategy == "local":
+        from quiver_spark.algorithms import local_tier
+
+        return local_tier.triangle_count_local(graph)
     t = _triangle_triples(graph)
     n = t.count()
     t._qs_oriented.unpersist()  # noqa: SLF001 — release the oriented-edge cache

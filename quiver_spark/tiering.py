@@ -22,6 +22,13 @@ Three measured regimes (BENCH/BASELINE.md):
 Thresholds are conf-driven instead of baked in, so a 100 TB operator
 retunes with ``--conf`` instead of editing source:
 
+- ``spark.quiver.auto.localMaxEdges`` — edge count at or below which
+  the tiny tier runs driver-local numpy instead of smj
+  (algorithms/local_tier.py) when the caller's runner keeps state in
+  memory anyway. Default 2,000,000 (≈32 MB of edge arrays — the same
+  "provably fits in one place" justification as a broadcast join);
+  0 disables. Only consulted INSIDE the tiny tier, so lowering
+  ``smjMaxEdges`` still forces the mirror tier as before.
 - ``spark.quiver.auto.smjMaxEdges`` — edge count below which auto
   picks smj. Default 2,000,000 (measured local[32] crossover; the
   regime boundary is fixed-cost-vs-work, not memory, so there is no
@@ -51,8 +58,10 @@ from pyspark.sql import SparkSession
 SMJ_MAX_EDGES_KEY = "spark.quiver.auto.smjMaxEdges"
 MIRROR_MAX_VERTICES_KEY = "spark.quiver.auto.mirrorMaxVertices"
 MIRROR_STRATEGY_KEY = "spark.quiver.auto.mirrorStrategy"
+LOCAL_MAX_EDGES_KEY = "spark.quiver.auto.localMaxEdges"
 
 DEFAULT_SMJ_MAX_EDGES = 2_000_000
+DEFAULT_LOCAL_MAX_EDGES = 2_000_000  # ≈32 MB as two int64 arrays
 DEFAULT_MIRROR_MAX_VERTICES = 50_000_000  # ≈800 MB at 16 B/vertex
 MIRROR_BYTES_PER_VERTEX = 16
 MIRROR_HEAP_FRACTION = 0.10
@@ -87,6 +96,11 @@ def smj_max_edges(spark: SparkSession) -> int:
     return int(raw) if raw else DEFAULT_SMJ_MAX_EDGES
 
 
+def local_max_edges(spark: SparkSession) -> int:
+    raw = _conf(spark, LOCAL_MAX_EDGES_KEY)
+    return int(raw) if raw is not None and raw != "" else DEFAULT_LOCAL_MAX_EDGES
+
+
 def mirror_max_vertices(spark: SparkSession) -> int:
     raw = _conf(spark, MIRROR_MAX_VERTICES_KEY)
     if raw:
@@ -116,6 +130,7 @@ def auto_strategy(
     n_edges: int,
     n_vertices: int | Callable[[], int],
     mirror_allowed: tuple[str, ...] = ("bhj", "csr"),
+    allow_local: bool = False,
 ) -> str:
     """Resolve ``strategy='auto'`` for an iterative flagship.
 
@@ -123,8 +138,17 @@ def auto_strategy(
     the tiny tier on the edge count alone never pay the vertex-count
     action (components / labelprop do this; pagerank already has the
     count from its dangling-flag build).
+
+    ``allow_local``: callers pass ``runner.run_dir is None`` — inside
+    the tiny tier, graphs at or under ``localMaxEdges`` run the
+    driver-local numpy tier (algorithms/local_tier.py, the tiny-tier
+    analog of a broadcast join) UNLESS the run needs durable
+    checkpoint/resume lineage, which is a distributed-runner contract.
+    Set ``spark.quiver.auto.localMaxEdges=0`` to disable.
     """
     if n_edges < smj_max_edges(spark):
+        if allow_local and n_edges <= local_max_edges(spark):
+            return "local"
         return "smj"
     n = n_vertices() if callable(n_vertices) else n_vertices
     if n <= mirror_max_vertices(spark):

@@ -389,7 +389,15 @@ def test_pagerank_auto_smj_salts_by_default(spark):
     edges = [(i, 0, "x") for i in range(1, 50)] + [(i, i + 1, "x") for i in range(1, 49)]
     e = spark.createDataFrame(edges, "src long, dst long, etype string")
     g = Graph.from_edges(e)
-    auto = pagerank(g, num_iters=8, strategy="auto", salt_rows_per_salt=4)
+    # disable the driver-local tiny tier: this law is specifically
+    # about the auto→smj branch's salting default
+    from quiver_spark import tiering
+
+    spark.conf.set(tiering.LOCAL_MAX_EDGES_KEY, "0")
+    try:
+        auto = pagerank(g, num_iters=8, strategy="auto", salt_rows_per_salt=4)
+    finally:
+        spark.conf.unset(tiering.LOCAL_MAX_EDGES_KEY)
     plain = pagerank(g, num_iters=8, strategy="smj", n_salts=None)
     a = {r["id"]: r["rank"] for r in auto.state.collect()}
     b = {r["id"]: r["rank"] for r in plain.state.collect()}
@@ -455,7 +463,10 @@ def test_cc_escalates_on_deep_path_in_log_rounds(spark):
         [(i, i + 1, "x") for i in range(n - 1)], "src long, dst long, etype string"
     )
     g = Graph(v, e)
-    res = connected_components(g, max_iters=50, escalate_after=8)
+    # strategy pinned: auto would route this tiny graph to the
+    # driver-local tier, which reaches the fixpoint without ever
+    # exercising the escalation switch under test
+    res = connected_components(g, max_iters=50, escalate_after=8, strategy="smj")
     assert res.converged, "escalated run must converge inside max_iters"
     assert res.supersteps <= 8 + 2 * 12 + 2  # 8 hashmin + ~2*log2(1000) star
     comp = {r["component"] for r in res.state.collect()}
@@ -468,7 +479,7 @@ def test_cc_escalates_on_deep_path_in_log_rounds(spark):
 def test_cc_escalation_preserves_planted_labels(spark, planted_cc):
     """Forcing escalation on an already-easy graph must not change the
     exact min-id component labels."""
-    res = connected_components(planted_cc, escalate_after=1)
+    res = connected_components(planted_cc, escalate_after=1, strategy="smj")
     comp = {r["id"]: r["component"] for r in res.state.collect()}
     assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 100: 100, 101: 100, 102: 100, 200: 200, 201: 200}
 
