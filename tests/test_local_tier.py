@@ -183,6 +183,27 @@ def test_triangle_count_local_equals_dist(spark, gnarly):
     assert local_tier.triangle_count_local(g, wedge_budget=7) == triangle_count(g, strategy="dist")
 
 
+def test_local_equals_smj_on_random_multigraphs(spark):
+    """Generator-driven equality law over seeded random labeled
+    multigraphs (the test_properties generator: parallel edges,
+    self-loops, ~10% edgeless, isolated vertices). 8 seeds — the
+    bound is the smj side's wall, not the law's strength; the
+    shape-targeted fixtures above cover the adversarial cases."""
+    from test_properties import random_multigraph  # tests/ is on sys.path under pytest rootdir
+
+    for seed in range(8):
+        g = random_multigraph(spark, seed)
+        pl = {r["id"]: r["rank"] for r in pagerank(g, num_iters=6, strategy="local").state.collect()}
+        ps = {r["id"]: r["rank"] for r in pagerank(g, num_iters=6, strategy="smj").state.collect()}
+        assert pl.keys() == ps.keys() and all(abs(pl[k] - ps[k]) < 1e-12 for k in pl), f"pagerank seed={seed}"
+        cl = {r["id"]: r["component"] for r in connected_components(g, strategy="local").state.collect()}
+        cs = {r["id"]: r["component"] for r in connected_components(g, strategy="smj").state.collect()}
+        assert cl == cs, f"cc seed={seed}"
+        ll = {r["id"]: r["label"] for r in label_propagation(g, label_col="name", num_iters=3, strategy="local").state.collect()}
+        ls = {r["id"]: r["label"] for r in label_propagation(g, label_col="name", num_iters=3, strategy="smj").state.collect()}
+        assert ll == ls, f"lp seed={seed}"
+
+
 def test_local_rejects_dangling_edges(spark):
     # a raw Graph (constructor trusts inputs) with an edge to a vertex
     # absent from the vertex table must raise, not mis-index
