@@ -293,13 +293,13 @@ def main() -> None:
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
             f"\n## {args.algo} scaling run ({args.edges:,} "
-            f"{'rows' if args.algo in ('ingest', 'neardup') else 'edges'}, "
-            + ("" if args.algo in ("ingest", "neardup") else f"{args.vertices:,} vertices, ")
+            f"{'rows' if args.algo in ('ingest', 'neardup', 'dedup_keep') else 'edges'}, "
+            + ("" if args.algo in ("ingest", "neardup", "dedup_keep") else f"{args.vertices:,} vertices, ")
             + f"{r_lo['supersteps']} supersteps, strategy={args.strategy}"
             + (", CPU-pinned levels" if args.pin else "")
             + (f", {args.mem_per_core}g-heap/core" if args.mem_per_core else "") + ")\n\n"
             f"| parallelism | wall (s) | supersteps/sec | "
-            f"{'rows' if args.algo in ('ingest', 'neardup') else 'edges'}/sec |\n|---|---|---|---|\n"
+            f"{'rows' if args.algo in ('ingest', 'neardup', 'dedup_keep') else 'edges'}/sec |\n|---|---|---|---|\n"
             f"| local[{lo}] | {r_lo['wall_sec']} | {r_lo['supersteps_per_sec']} | {r_lo['edges_per_sec']:,} |\n"
             f"| local[{hi}] | {r_hi['wall_sec']} | {r_hi['supersteps_per_sec']} | {r_hi['edges_per_sec']:,} |\n\n"
             f"scaling efficiency (throughput@{hi} / throughput@{lo}) / {factor:g} = **{eff:.3f}** "
