@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from quiver_spark.graph import Graph
-from quiver_spark.superstep import SuperstepRunner, SuperstepResult
+from quiver_spark.superstep import SuperstepRunner, SuperstepResult, truncated_checkpoint
 
 
 def _cc_csr_kernel(p_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -284,7 +284,7 @@ def connected_components(
             )
         if fixed:
             return new_state.select("id", "component"), None
-        new_state = new_state.localCheckpoint()
+        new_state = truncated_checkpoint(new_state)
         new_state._qs_checkpointed = True  # noqa: SLF001 — runner contract
         changed = new_state.agg(F.sum(F.col("_changed").cast("int"))).collect()[0][0] or 0
         out = new_state.drop("_changed")
@@ -327,7 +327,7 @@ def _two_phase_cc(graph: Graph, max_iters: int, runner: SuperstepRunner | None) 
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
         s = _star_double(und, state, large=(k % 2 == 0))
-        s = s.localCheckpoint()
+        s = truncated_checkpoint(s)
         s._qs_checkpointed = True  # noqa: SLF001 — runner contract
         changed = s.agg(F.sum(F.col("_changed").cast("int"))).collect()[0][0] or 0
         out = s.drop("_changed")

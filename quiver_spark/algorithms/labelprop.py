@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from quiver_spark.graph import Graph
-from quiver_spark.superstep import SuperstepRunner, SuperstepResult
+from quiver_spark.superstep import SuperstepRunner, SuperstepResult, truncated_checkpoint
 
 
 def _lp_csr_kernel(p_pdf: pd.DataFrame, s_pdf: pd.DataFrame, n_codes: int) -> pd.DataFrame:
@@ -329,7 +329,7 @@ def label_propagation(
         # join; bhj: injected self-loops; csr: kernel is_old rows), so
         # the fixpoint check is one cached-scan aggregate — no
         # per-round join job
-        new_state = new_state.localCheckpoint()
+        new_state = truncated_checkpoint(new_state)
         new_state._qs_checkpointed = True  # noqa: SLF001 — runner contract
         changed = new_state.agg(F.sum(F.col("_changed").cast("int"))).collect()[0][0] or 0
         out = new_state.drop("_changed")

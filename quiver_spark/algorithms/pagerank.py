@@ -63,7 +63,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from quiver_spark.graph import Graph
-from quiver_spark.superstep import SuperstepRunner, SuperstepResult
+from quiver_spark.superstep import SuperstepRunner, SuperstepResult, truncated_checkpoint
 
 
 def _salted_sum(df: DataFrame, key: str, value: str, out: str, n_salts: int, salt_src: str) -> DataFrame:
@@ -475,7 +475,7 @@ def pagerank(
     def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
         new_state = body(state)
         # materialize ONCE here; tell the runner not to re-checkpoint
-        new_state = new_state.localCheckpoint()
+        new_state = truncated_checkpoint(new_state)
         new_state._qs_checkpointed = True  # noqa: SLF001 — runner contract
         if fixed:
             return new_state, None

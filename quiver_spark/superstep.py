@@ -41,6 +41,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def truncated_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` that also drops the carried plan statistics.
+
+    ``Dataset.localCheckpoint`` embeds the optimized plan's
+    ``Statistics`` into the resulting ``LogicalRDD`` (Spark
+    ``Dataset.checkpoint`` passes ``optimizedPlan.stats`` through).
+    Catalyst's size-only estimator multiplies child ``sizeInBytes``
+    across every join, so a superstep that references its state frame
+    more than once — smj PageRank's messages + join-back, HITS's
+    ``auth ⋈ hub`` — makes the carried BigInteger's BIT COUNT double
+    (or worse) per superstep: planning cost is O(2^k) supersteps and a
+    long tolerance run kills the driver with an OutOfMemoryError
+    inside ``BigInteger.multiply`` (measured: HITS on an 8-vertex
+    fixture dies ≈ superstep 30; probe: bits 85 → 225 → 506 → 1068 →
+    2191 → 4438 → 8933 across 7 supersteps).
+
+    Fix: let ``localCheckpoint`` do the safe part (eager row-copy +
+    partition pinning), then rewrap its materialized RDD via
+    ``SparkSession.internalCreateDataFrame`` — the new ``LogicalRDD``
+    has no origin stats and reports the constant
+    ``spark.sql.defaultSizeInBytes``. Costs: (a) the rewrap loses
+    ``outputPartitioning`` metadata, so a next-superstep join on the
+    same key re-shuffles the vertex-sized state instead of reusing the
+    checkpointed layout — bounded and AQE-visible, vs unbounded
+    planning growth; (b) stats-based auto-broadcast of the state is
+    off — every mirror tier already broadcasts explicitly via
+    ``F.broadcast``, and AQE still converts at runtime from observed
+    shuffle sizes.
+    """
+    ck = df.localCheckpoint()
+    spark = df.sparkSession
+    jrdd = ck._jdf.queryExecution().toRdd()  # noqa: SLF001
+    jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(df.schema.json())
+    jdf = spark._jsparkSession.internalCreateDataFrame(jrdd, jschema, False)  # noqa: SLF001
+    return DataFrame(jdf, spark)
+
+
 @dataclass
 class SuperstepResult:
     state: DataFrame
@@ -196,7 +233,7 @@ class SuperstepRunner:
                     {"job_key": job_key, "state_schema": state0.schema.simpleString()}, f
                 )
 
-        state = state.localCheckpoint()
+        state = truncated_checkpoint(state)
         metrics: list[dict] = []
         k = start_k - 1
         for k in range(start_k, max_iters):
@@ -206,7 +243,7 @@ class SuperstepRunner:
             # checkpointed — e.g. to compute its convergence delta from
             # the cached result instead of recomputing the DAG)
             if not getattr(new_state, "_qs_checkpointed", False):
-                new_state = new_state.localCheckpoint()
+                new_state = truncated_checkpoint(new_state)
             wall_ms = (time.monotonic() - t0) * 1000
             converged = tol is not None and delta is not None and delta <= tol
             m = {

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from quiver_spark.graph import Graph, _ids_df
+from quiver_spark.superstep import truncated_checkpoint
 
 # direction → which edge column the frontier matches / expands to
 _DIRS = {"out": ("src", "dst"), "in": ("dst", "src")}
@@ -95,8 +96,8 @@ def bfs(
         )
         visited = frontier
         level = 0
-        frontier = frontier.localCheckpoint()
-        visited = visited.localCheckpoint()
+        frontier = truncated_checkpoint(frontier)
+        visited = truncated_checkpoint(visited)
         frontier_n = frontier.count()
         while True:
             if max_depth is not None and level >= max_depth:
@@ -117,13 +118,13 @@ def bfs(
                 .agg(F.min(F.struct("parent", "root")).alias("pr"))
                 .select("id", "level", F.col("pr.parent").alias("parent"), F.col("pr.root").alias("root"))
             )
-            nxt = nxt.localCheckpoint()  # also materializes for the count
+            nxt = truncated_checkpoint(nxt)  # also materializes for the count
             frontier_n = nxt.count()  # cached scan; also the next hint decision
             if frontier_n == 0:
                 break
             visited = visited.unionByName(nxt)
             if level % checkpoint_every == 0:
-                visited = visited.localCheckpoint()
+                visited = truncated_checkpoint(visited)
             frontier = nxt
         return visited
     finally:
@@ -262,7 +263,7 @@ def cheapest_path_costs(
         dist = _ids_df(graph.spark, seeds).select(
             "id", F.lit(0.0).alias("cost"), F.lit(None).cast("long").alias("parent")
         )
-        dist = dist.localCheckpoint()
+        dist = truncated_checkpoint(dist)
         changed = 0
         for it in range(1, max_iters + 1):
             relaxed = edges.join(dist, edges["u"] == dist["id"]).select(
@@ -306,7 +307,7 @@ def cheapest_path_costs(
             )
             # materialize each round: the fixpoint scan reads the cache,
             # and checkpointing truncates the k-deep join lineage
-            new_dist = new_dist.localCheckpoint()
+            new_dist = truncated_checkpoint(new_dist)
             changed = new_dist.agg(F.sum(F.col("_changed").cast("int"))).collect()[0][0] or 0
             dist = new_dist.drop("_changed")
             if changed == 0:
