@@ -1,7 +1,12 @@
 from quiver_spark.algorithms.components import connected_components
+from quiver_spark.algorithms.hits import hits
 from quiver_spark.algorithms.labelprop import label_propagation
 from quiver_spark.algorithms.pagerank import pagerank
-from quiver_spark.algorithms.triangles import triangle_count, triangles_per_vertex
+from quiver_spark.algorithms.triangles import (
+    local_clustering_coefficient,
+    triangle_count,
+    triangles_per_vertex,
+)
 
 __all__ = [
     "pagerank",
@@ -9,4 +14,6 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "triangles_per_vertex",
+    "local_clustering_coefficient",
+    "hits",
 ]

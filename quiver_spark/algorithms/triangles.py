@@ -126,3 +126,57 @@ def triangles_per_vertex(graph: Graph) -> DataFrame:
     out = graph.vertices.select("id").join(per, "id", "left").fillna(0, ["triangles"])
     out._qs_oriented = t._qs_oriented  # noqa: SLF001 — caller releases after materializing
     return out
+
+
+def local_clustering_coefficient(graph: Graph) -> DataFrame:
+    """(id, triangles, degree, lcc_e9) per vertex — the local
+    clustering coefficient lcc(v) = 2·T(v) / (d(v)·(d(v)−1)) of the
+    underlying simple undirected graph (same collapse as
+    :func:`triangle_count`; ``degree`` is the distinct-neighbor
+    count, NOT the labeled-multi-edge degree), 0 when d(v) < 2.
+
+    ``lcc_e9`` = floor(lcc·1e9 + 0.5): the ratio of exact integers is
+    one IEEE division on both engines, so the DuckDB twin matches
+    bit-for-bit with no sum-order tolerance needed. The returned
+    frame re-exposes the oriented-edge cache as ``_qs_oriented``
+    (release discipline of :func:`triangles_per_vertex`).
+
+    Scale shape: both aggregates (triangles from the triple table,
+    degree from the oriented pair table) are map-side-combinable
+    groupBys on frames the triangle pipeline already materializes;
+    no new shuffle of edge-sized data beyond triangle counting
+    itself.
+    """
+    t = _triangle_triples(graph)
+    o = t._qs_oriented  # noqa: SLF001
+    tri = (
+        t.select(F.col("x").alias("id"))
+        .unionByName(t.select(F.col("y").alias("id")))
+        .unionByName(t.select(F.col("z").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        o.select(F.col("u").alias("id"))
+        .unionByName(o.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    out = (
+        graph.vertices.select("id")
+        .join(tri, "id", "left")
+        .join(deg, "id", "left")
+        .fillna(0, ["triangles", "degree"])
+    )
+    lcc = F.when(
+        F.col("degree") >= 2,
+        (F.lit(2.0) * F.col("triangles")) / (F.col("degree") * (F.col("degree") - F.lit(1))),
+    ).otherwise(F.lit(0.0))
+    res = out.select(
+        "id",
+        F.col("triangles").cast("long").alias("triangles"),
+        F.col("degree").cast("long").alias("degree"),
+        F.floor(lcc * F.lit(1e9) + F.lit(0.5)).cast("long").alias("lcc_e9"),
+    )
+    res._qs_oriented = o  # noqa: SLF001 — caller releases after materializing
+    return res

@@ -38,7 +38,12 @@ from quiver_spark.algorithms import (
     label_propagation,
     pagerank,
 )
-from quiver_spark.algorithms.triangles import _triangle_triples, triangles_per_vertex
+from quiver_spark.algorithms.hits import hits
+from quiver_spark.algorithms.triangles import (
+    _triangle_triples,
+    local_clustering_coefficient,
+    triangles_per_vertex,
+)
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB side)
@@ -115,6 +120,30 @@ def q_triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_triangles_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = tg.supplier_copart_graph(spark, sf_dir)
     return triangles_per_vertex(g).select("id", F.col("triangles").cast("long").alias("triangles"))
+
+
+def q_clustering_coeff_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the supplier co-part graph —
+    exact-integer ratio, so the DuckDB twin needs no sum-order
+    tolerance (round 5; extends the triangle family)."""
+    g = tg.supplier_copart_graph(spark, sf_dir)
+    return local_clustering_coefficient(g)
+
+
+HITS_ITERS = 5
+
+
+def q_hits_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the hierarchy graph, fixed 5 full
+    Kleinberg iterations (L2-normalized) — oracle mode against the
+    unrolled CTE twin (round 5)."""
+    g = tg.hierarchy_graph(spark, sf_dir)
+    res = hits(g, num_iters=HITS_ITERS)
+    return res.state.select(
+        "id",
+        F.floor(F.col("auth") * F.lit(1e9) + F.lit(0.5)).cast("long").alias("auth_e9"),
+        F.floor(F.col("hub") * F.lit(1e9) + F.lit(0.5)).cast("long").alias("hub_e9"),
+    )
 
 
 PR_ITERS = 10
@@ -1015,6 +1044,51 @@ def _pagerank_oracle_sql(
     return "\n".join(parts)
 
 
+def _hits_oracle_sql(iters: int = 5) -> str:
+    """Unrolled fixed-iteration HITS over the hierarchy graph — same
+    algebra and fp op order as quiver_spark.algorithms.hits (hub init
+    1.0; per iteration: raw in-sum, one sqrt-of-sum-of-squares, one
+    division; then the same for hubs from the NEW authorities).
+    Compared as floor(x*1e9 + 0.5) integers like the PageRank twins."""
+    parts = [
+        f"WITH {_HIER_V.strip()}, {_HIER_E.strip()},",
+        "h0 AS (SELECT v.id, CAST(1.0 AS DOUBLE) AS hub FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"h{k - 1}"
+        parts.append(
+            f""", ar{k} AS (
+  SELECT v.id, COALESCE(m.s, CAST(0 AS DOUBLE)) AS a
+  FROM v LEFT JOIN (SELECT e.dst, SUM(p.hub) AS s
+                    FROM e JOIN {p} p ON p.id = e.src GROUP BY e.dst) m
+    ON m.dst = v.id
+), an{k} AS (
+  SELECT CASE WHEN sqrt(SUM(a * a)) = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE sqrt(SUM(a * a)) END AS n FROM ar{k}
+), a{k} AS (
+  SELECT id, a / an{k}.n AS auth FROM ar{k} CROSS JOIN an{k}
+), hr{k} AS (
+  SELECT v.id, COALESCE(m.s, CAST(0 AS DOUBLE)) AS h
+  FROM v LEFT JOIN (SELECT e.src, SUM(p.auth) AS s
+                    FROM e JOIN a{k} p ON p.id = e.dst GROUP BY e.src) m
+    ON m.src = v.id
+), hn{k} AS (
+  SELECT CASE WHEN sqrt(SUM(h * h)) = 0 THEN CAST(1.0 AS DOUBLE)
+              ELSE sqrt(SUM(h * h)) END AS n FROM hr{k}
+), h{k} AS (
+  SELECT id, h / hn{k}.n AS hub FROM hr{k} CROSS JOIN hn{k}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT a{iters}.id,
+       CAST(floor(a{iters}.auth * 1e9 + 0.5) AS BIGINT) AS auth_e9,
+       CAST(floor(h{iters}.hub * 1e9 + 0.5) AS BIGINT) AS hub_e9
+FROM a{iters} JOIN h{iters} ON h{iters}.id = a{iters}.id"""
+    )
+    return "\n".join(parts)
+
+
 def _repo_graph_sql(path: str) -> str:
     """DuckDB CTE chain re-deriving the ingest link graph from the
     materialized synthetic repo table at ``path`` — an independent SQL
@@ -1748,6 +1822,36 @@ FROM events GROUP BY 1, 2
     # re-derives the whole link graph in SQL
     "repo_pagerank_top": _repo_pagerank_oracle_sql(_repo_table_path(_REPO_ORACLE_SF_DIR)),
     "repo_components": _repo_components_oracle_sql(_repo_table_path(_REPO_ORACLE_SF_DIR)),
+    # round-5 link-analysis additions (below the fold): local
+    # clustering coefficient is an exact-integer ratio (bit-for-bit,
+    # no tolerance); HITS is the unrolled-CTE family like PageRank
+    "clustering_coeff_suppliers": f"""
+WITH {_COPART_E.strip()},
+t AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+ids AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+cnt AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t
+  ) GROUP BY id
+),
+deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT src AS id FROM e UNION ALL SELECT dst FROM e
+  ) GROUP BY id
+)
+SELECT ids.id,
+       COALESCE(cnt.triangles, 0) AS triangles,
+       deg.degree AS degree,
+       CAST(floor(
+         CASE WHEN deg.degree >= 2
+              THEN (2.0 * COALESCE(cnt.triangles, 0)) / (deg.degree * (deg.degree - 1))
+              ELSE CAST(0.0 AS DOUBLE) END * 1e9 + 0.5) AS BIGINT) AS lcc_e9
+FROM ids LEFT JOIN cnt ON cnt.id = ids.id JOIN deg ON deg.id = ids.id
+""",
+    "hits_hierarchy": _hits_oracle_sql(),
 }
 
 # Dict ORDER is a contract: the driver's correctness gate records only
@@ -1853,6 +1957,10 @@ QUERIES = {
     # these shapes in tests/test_streaming.py)
     "events_user_type_transitions": q_events_user_type_transitions,
     "events_hourly_type_counts": q_events_hourly_type_counts,
+    # round-5 link-analysis additions: clustering coefficient (exact
+    # ratio twin) and HITS (unrolled-CTE twin, PageRank family)
+    "clustering_coeff_suppliers": q_clustering_coeff_suppliers,
+    "hits_hierarchy": q_hits_hierarchy,
 }
 
 # The driver records CORRECTNESS rows for exactly these 50 names, in
