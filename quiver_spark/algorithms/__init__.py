@@ -2,6 +2,7 @@ from quiver_spark.algorithms.components import connected_components
 from quiver_spark.algorithms.hits import hits
 from quiver_spark.algorithms.labelprop import label_propagation
 from quiver_spark.algorithms.pagerank import pagerank
+from quiver_spark.algorithms.scc import strongly_connected_components
 from quiver_spark.algorithms.triangles import (
     local_clustering_coefficient,
     triangle_count,
@@ -16,4 +17,5 @@ __all__ = [
     "triangles_per_vertex",
     "local_clustering_coefficient",
     "hits",
+    "strongly_connected_components",
 ]

@@ -365,3 +365,90 @@ def triangle_count_local(graph: Graph, wedge_budget: int = 8_000_000) -> int:
         pos_c = np.minimum(pos, len(ekey) - 1)
         total += int(((pos < len(ekey)) & (ekey[pos_c] == wk)).sum())
     return total
+
+
+# ----------------------------------------------------------------------
+# Strongly connected components
+# ----------------------------------------------------------------------
+def scc_local(graph: Graph, max_iters: int = 30) -> SuperstepResult:
+    """Driver-numpy twin of algorithms/scc.py — the same trimmed
+    FW-BW coloring, vectorized: trim via ``bincount`` peeling, forward
+    coloring via ``np.maximum.at`` rounds (the third operand is
+    gathered eagerly, so each call is one synchronous superstep),
+    backward reach via a boolean edge scan. Same canonical output
+    (``scc`` = min member id) and the same raise-on-``max_iters``
+    contract as the distributed tier (equality-tested against an
+    independent iterative Tarjan in tests/test_scc.py)."""
+    spark = graph.spark
+    ids, si, di = _collect_graph(graph)
+    _guard(spark, len(si))
+    n = len(ids)
+    if n == 0:
+        return SuperstepResult(state=spark.createDataFrame([], "id long, scc long"), supersteps=0)
+
+    # strong connectivity ignores self-loops and edge multiplicity
+    m = si != di
+    si, di = si[m].astype(np.int64), di[m].astype(np.int64)
+    if len(si):
+        key = np.unique(si * np.int64(n) + di)
+        si, di = key // n, key % n
+
+    scc = np.full(n, -1, np.int64)
+    alive = np.ones(n, bool)
+    metrics: list[dict] = []
+    k = -1
+    for k in range(max_iters):
+        t0 = time.monotonic()
+        # trim to fixpoint (cheap locally — unlike the distributed
+        # tier's bounded trim_rounds, full peeling costs ~nothing here)
+        while True:
+            em = alive[si] & alive[di]
+            outd = np.bincount(si[em], minlength=n)
+            ind = np.bincount(di[em], minlength=n)
+            dead = alive & ((outd == 0) | (ind == 0))
+            if not dead.any():
+                break
+            scc[dead] = ids[dead]
+            alive[dead] = False
+        if not alive.any():
+            metrics.append(_metric(k, 0.0, t0, True))
+            break
+        em = alive[si] & alive[di]
+        es, ed = si[em], di[em]
+
+        # forward HashMax coloring over vertex positions
+        color = np.arange(n, dtype=np.int64)
+        while True:
+            prev = color.copy()
+            np.maximum.at(color, ed, color[es])
+            if (color == prev).all():
+                break
+
+        # backward reach from color roots, within color
+        reached = alive & (color == np.arange(n))
+        while True:
+            cand = reached[ed] & (color[es] == color[ed]) & ~reached[es]
+            if not cand.any():
+                break
+            reached[es[cand]] = True
+
+        sel = alive & reached
+        mins = np.full(n, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, color[sel], ids[sel])
+        scc[sel] = mins[color[sel]]
+        alive[sel] = False
+        done = not alive.any()
+        metrics.append(_metric(k, float(alive.sum()), t0, done))
+        if done:
+            break
+    if alive.any():
+        raise RuntimeError(
+            f"scc did not assign every vertex in max_iters={max_iters} outer "
+            f"rounds ({int(alive.sum())} unassigned) — raise max_iters"
+        )
+    pdf = pd.DataFrame({"id": ids, "scc": scc})
+    return SuperstepResult(
+        state=spark.createDataFrame(pdf, "id long, scc long"),
+        supersteps=k + 1,
+        metrics=metrics,
+    )

@@ -146,6 +146,48 @@ def q_hits_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCC_ORDER_MOD = 20  # sparsifier: keep 1-in-20 orders → bowtie, not one giant SCC
+
+
+def _scc_parts_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic directed bowtie graph over TPC-H parts: an edge
+    part→part for each CONSECUTIVE lineitem pair (by linenumber)
+    within a 1-in-``SCC_ORDER_MOD`` sample of orders. At sf0.01 this
+    yields the classic web-graph shape — ~1.2k singletons plus a
+    spread of nontrivial SCCs (39/14/9/5/4/4) — so the FW-BW outer
+    loop, trim phase and coloring all genuinely exercise (measured;
+    keeping every order collapses everything into ONE 2000-part SCC)."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_orderkey") % SCC_ORDER_MOD == 0)
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_linenumber").alias("n"),
+            F.col("l_partkey").cast("long").alias("p"),
+        )
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("b.n") == F.col("a.n") + 1))
+        .where(F.col("a.p") != F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .dropDuplicates()
+    )
+
+
+def q_scc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex strongly-connected-component ids (scc = min member
+    id) on the part bowtie graph — the DuckDB twin computes the
+    recursive mutual-reachability closure, a third algorithm family
+    (the pytest check is an iterative Tarjan). Round 5."""
+    from quiver_spark.algorithms.scc import strongly_connected_components
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(_scc_parts_edges(spark, sf_dir))
+    res = strongly_connected_components(g)
+    return res.state.select("id", "scc").orderBy("id")
+
+
 PR_ITERS = 10
 PR_DAMPING = 0.85
 
@@ -1852,6 +1894,36 @@ SELECT ids.id,
 FROM ids LEFT JOIN cnt ON cnt.id = ids.id JOIN deg ON deg.id = ids.id
 """,
     "hits_hierarchy": _hits_oracle_sql(),
+    # SCC twin: recursive mutual-reachability closure — a different
+    # algorithm family from both the engine's FW-BW coloring and the
+    # pytest Tarjan check. Closure size is bounded by the bowtie
+    # sparsifier (SCC_ORDER_MOD keeps the largest SCC ~39 at sf0.01).
+    # Dedup spelled DISTINCT-over-UNION-ALL per the DuckDB 1.0
+    # WITH RECURSIVE + plain-UNION-in-CTE quirk (NOTES_r5.md).
+    "scc_parts": f"""
+WITH RECURSIVE
+li AS (
+  SELECT l_orderkey AS o, l_linenumber AS n, CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem WHERE l_orderkey % {SCC_ORDER_MOD} = 0
+),
+e AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM li a JOIN li b ON a.o = b.o AND b.n = a.n + 1
+  WHERE a.p <> b.p
+),
+verts AS (
+  SELECT DISTINCT v AS id FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+),
+reach(s, d) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.d
+)
+SELECT r1.s AS id, MIN(r1.d) AS scc
+FROM reach r1 JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s
+GROUP BY r1.s
+ORDER BY id
+""",
 }
 
 # Dict ORDER is a contract: the driver's correctness gate records only
@@ -1961,6 +2033,9 @@ QUERIES = {
     # ratio twin) and HITS (unrolled-CTE twin, PageRank family)
     "clustering_coeff_suppliers": q_clustering_coeff_suppliers,
     "hits_hierarchy": q_hits_hierarchy,
+    # strongly connected components on the part bowtie graph (directed
+    # companion to cc_admin; recursive mutual-reach DuckDB twin)
+    "scc_parts": q_scc_parts,
 }
 
 # The driver records CORRECTNESS rows for exactly these 50 names, in
