@@ -98,6 +98,12 @@ def main(argv: list[str] | None = None) -> int:
         "--output after a stream-ingest delta; converges to the same fixpoint in "
         "far fewer supersteps when the graph changed little",
     )
+    ap.add_argument(
+        "--reset",
+        help="(pagerank) personalized-teleport (id, weight) table URI — teleport "
+        "and dangling mass land on this distribution (normalized) instead of "
+        "uniformly; incompatible with --init-ranks",
+    )
     ap.add_argument("--label-col", default="lang")
     ap.add_argument("--lp-iters", type=int, default=10)
     ap.add_argument("--jaccard", type=float, default=0.7, help="near-dups verify threshold")
@@ -115,6 +121,11 @@ def main(argv: list[str] | None = None) -> int:
         # that purpose (ADVICE r4). Warm starts converge-to-tolerance.
         ap.error("--init-ranks (warm start) cannot be combined with "
                  "--num-iters (fixed-iteration oracle mode); use --tol")
+    if args.reset and args.init_ranks:
+        # mirrors pagerank(reset=..., init_ranks=...) raising: the warm
+        # start's renormalization assumes the uniform-teleport fixpoint
+        ap.error("--reset (personalized teleport) cannot be combined with "
+                 "--init-ranks (warm start)")
 
     spark = _spark(args)
     from quiver_spark.superstep import SuperstepRunner
@@ -233,6 +244,7 @@ def main(argv: list[str] | None = None) -> int:
             strategy=args.strategy,
             runner=runner,
             init_ranks=_read(spark, args.init_ranks, args.format) if args.init_ranks else None,
+            reset=_read(spark, args.reset, args.format) if args.reset else None,
         )
         io.write(res.state, args.output)
         out = {

@@ -112,8 +112,13 @@ def pagerank_local(
     num_iters: int | None = None,
     max_iters: int = 100,
     init_ranks: DataFrame | None = None,
+    reset: DataFrame | None = None,
 ) -> SuperstepResult:
     spark = graph.spark
+    if reset is not None and init_ranks is not None:
+        raise NotImplementedError(
+            "reset (personalized PageRank) cannot be combined with init_ranks"
+        )
     ids, si, di = _collect_graph(graph)
     _guard(spark, len(si))
     n = len(ids)
@@ -124,6 +129,27 @@ def pagerank_local(
     dang = outdeg == 0
     w = np.zeros(len(si))
     np.divide(1.0, outdeg[si], out=w, where=outdeg[si] > 0)
+
+    rst = None
+    if reset is not None:
+        # personalized teleport distribution (mirrors pagerank.py:
+        # dedup by id, absent-vertex rows ignored, normalized, total
+        # must be > 0, weights nonnegative); init = rst
+        wcol = [c for c in reset.columns if c != "id"][0]
+        rdf = reset.select("id", wcol).toPandas().drop_duplicates("id")
+        rst = np.zeros(n)
+        ii = np.searchsorted(ids, rdf["id"].to_numpy(np.int64))
+        ok = (ii < n) & (ids[np.minimum(ii, n - 1)] == rdf["id"].to_numpy(np.int64))
+        rst[ii[ok]] = rdf[wcol].to_numpy(float)[ok]
+        if (rst < 0).any():
+            raise ValueError("reset weights must be nonnegative")
+        tot = rst.sum()
+        if tot <= 0:
+            raise ValueError(
+                "reset weights must sum > 0 over the graph's vertex set "
+                "(rows for absent vertices are ignored)"
+            )
+        rst = rst / tot
 
     if init_ranks is not None:
         # mirror the distributed warm start: dedup by id, uncovered
@@ -136,6 +162,8 @@ def pagerank_local(
         rank[ii[ok]] = init["rank"].to_numpy(float)[ok]
         tot = rank.sum()
         rank = rank / tot if tot > 0 else np.full(n, 1.0 / n)
+    elif rst is not None:
+        rank = rst.copy()  # personalized init = rst (oracle-mode pin)
     else:
         rank = np.full(n, 1.0 / n)
 
@@ -148,7 +176,10 @@ def pagerank_local(
         t0 = time.monotonic()
         msum = np.bincount(di, weights=rank[si] * w, minlength=n) if len(si) else np.zeros(n)
         dsum = float(rank[dang].sum())
-        new = base + damping * (msum + dsum / n)
+        if rst is not None:
+            new = (1.0 - damping) * rst + damping * (msum + dsum * rst)
+        else:
+            new = base + damping * (msum + dsum / n)
         delta = None if fixed else float(np.abs(new - rank).max())
         rank = new
         converged = (not fixed) and tol is not None and delta <= tol

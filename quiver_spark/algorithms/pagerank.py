@@ -99,8 +99,22 @@ def pagerank(
     strategy: str | None = None,
     runner: SuperstepRunner | None = None,
     init_ranks: DataFrame | None = None,
+    reset: DataFrame | None = None,
 ) -> SuperstepResult:
     """Returns a SuperstepResult whose state is ``(id, rank)``.
+
+    ``reset`` — optional ``(id, weight)`` frame turning this into
+    PERSONALIZED PageRank: the teleport (and dangling) mass lands on
+    the reset distribution (weights normalized over the graph's
+    vertex set; rows for absent vertices are ignored; the covered
+    total must be > 0) instead of uniformly:
+    ``rank(v) = (1-d)·rst(v) + d·(Σ msgs + dsum·rst(v))``, init =
+    rst. Supported on the ``local`` and ``smj`` tiers; ``auto``
+    resolves mirror/csr-sized graphs to smj (correct at any size —
+    the known mirror/CSR extension folds rst into the per-block
+    broadcast exactly like the dangling flag, not built until a
+    profile demands it), while an EXPLICIT mirror/csr strategy with
+    ``reset`` raises. Combining with ``init_ranks`` raises.
 
     ``num_iters`` set → exactly that many supersteps, no convergence
     action (oracle mode). Otherwise iterate until max |Δrank| ≤ tol.
@@ -122,6 +136,13 @@ def pagerank(
     runner = runner or SuperstepRunner(spark)
     if strategy is None:
         strategy = "csr" if use_csr else "smj"
+    was_auto = strategy == "auto"
+    if reset is not None and init_ranks is not None:
+        raise NotImplementedError(
+            "reset (personalized PageRank) cannot be combined with "
+            "init_ranks (warm start) — the warm-start renormalization "
+            "assumes the uniform-teleport fixpoint"
+        )
 
     if strategy == "auto":
         # conf-driven three-regime tiering, shared with components /
@@ -164,8 +185,18 @@ def pagerank(
             )
         return local_tier.pagerank_local(
             graph, damping=damping, tol=tol, num_iters=num_iters,
-            max_iters=max_iters, init_ranks=init_ranks,
+            max_iters=max_iters, init_ranks=init_ranks, reset=reset,
         )
+
+    if reset is not None and strategy != "smj":
+        if not was_auto:
+            raise ValueError(
+                f"reset (personalized PageRank) is not implemented for the "
+                f"{strategy!r} tier — use strategy='smj'/'local'/'auto' "
+                f"(docstring: the mirror/CSR extension is a known recipe)"
+            )
+        strategy = "smj"
+        n_salts = n_salts if n_salts is not None else "auto"
 
     out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("od"))
     # vertex frame with the dangling flag baked in: (id, dang)
@@ -267,7 +298,31 @@ def pagerank(
     else:
         raise ValueError(f"unknown pagerank strategy: {strategy!r}")
 
-    # internal state schema: (id, rank, dang, delta); stripped on return.
+    # personalized teleport distribution: (id, dang, rst) with rst
+    # normalized over the graph's vertices — one one-time agg, then a
+    # static column the state carries (exactly like the dang flag)
+    if reset is not None:
+        wcol = [c for c in reset.columns if c != "id"][0]
+        rw = reset.select("id", F.col(wcol).cast("double").alias("_w")).dropDuplicates(["id"])
+        idw = keep(
+            ids.join(rw, "id", "left").select(
+                "id", "dang", F.coalesce(F.col("_w"), F.lit(0.0)).alias("_w")
+            )
+        )
+        tot_row = idw.agg(F.sum("_w").alias("t"), F.min("_w").alias("m")).collect()[0]
+        if tot_row["m"] is not None and tot_row["m"] < 0:
+            raise ValueError("reset weights must be nonnegative")
+        if not tot_row["t"] or tot_row["t"] <= 0:
+            raise ValueError(
+                "reset weights must sum > 0 over the graph's vertex set "
+                "(rows for absent vertices are ignored)"
+            )
+        ids_rst = keep(
+            idw.select("id", "dang", (F.col("_w") / F.lit(float(tot_row["t"]))).alias("rst"))
+        )
+
+    # internal state schema: (id, rank, dang, delta) — plus the static
+    # rst column in personalized mode; stripped on return.
     # init_ranks (warm start): the damped power iteration has a unique
     # fixpoint, so ANY start vector converges to the same ranks — a
     # near-fixpoint start (last run's output after a small graph delta)
@@ -309,6 +364,12 @@ def pagerank(
             "dang",
             F.lit(0.0).alias("delta"),
         )
+    elif reset is not None:
+        # personalized init = the reset distribution itself (any init
+        # reaches the same fixpoint; this one is the oracle-mode pin)
+        state0 = ids_rst.select(
+            "id", F.col("rst").alias("rank"), "dang", "rst", F.lit(0.0).alias("delta")
+        )
     else:
         state0 = ids.select("id", F.lit(1.0 / n).alias("rank"), "dang", F.lit(0.0).alias("delta"))
 
@@ -317,7 +378,20 @@ def pagerank(
         return state.where(F.col("dang")).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dsum"))
 
     def finish(joined: DataFrame, msum_col: str, dsum_col) -> DataFrame:
-        """base + d*(msgs + dangling/n), new delta vs carried prev rank."""
+        """base + d*(msgs + dangling/n), new delta vs carried prev rank.
+        Personalized mode: (1-d)*rst + d*(msgs + dangling*rst) — the
+        teleport and dangling mass land on the carried rst column."""
+        if reset is not None:
+            new_rank = F.lit(1.0 - damping) * F.col("rst") + F.lit(damping) * (
+                F.coalesce(F.col(msum_col), F.lit(0.0)) + dsum_col * F.col("rst")
+            )
+            return joined.select(
+                "id",
+                new_rank.alias("rank"),
+                "dang",
+                "rst",
+                F.abs(new_rank - F.col("_prev")).alias("delta"),
+            )
         new_rank = F.lit(base) + F.lit(damping) * (
             F.coalesce(F.col(msum_col), F.lit(0.0)) + dsum_col / F.lit(float(n))
         )
@@ -347,8 +421,11 @@ def pagerank(
             summed = _salted_sum(contribs, "dst", "c", "msum", n_salts, salt_src="src")
         else:
             summed = contribs.groupBy("dst").agg(F.sum("c").alias("msum"))
+        carry = ["id", F.col("rank").alias("_prev"), "dang"] + (
+            ["rst"] if reset is not None else []
+        )
         joined = (
-            state.select("id", F.col("rank").alias("_prev"), "dang")
+            state.select(*carry)
             .join(summed.withColumnRenamed("dst", "id"), "id", "left")
             .crossJoin(F.broadcast(dang_row(state)))
         )
@@ -497,7 +574,10 @@ def pagerank(
             step,
             tol=None if fixed else tol,
             max_iters=total_iters,
-            job_key=f"pagerank:damping={damping}:strategy={strategy}",
+            job_key=(
+                f"pagerank:damping={damping}:strategy={strategy}"
+                + (":personalized" if reset is not None else "")
+            ),
         )
     finally:
         for df in persisted:

@@ -200,6 +200,27 @@ def q_pagerank_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPR_SEED = 1_000_000  # region 0's vertex id in the hierarchy graph
+
+
+def q_ppr_region0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) seeded at the
+    region-0 vertex of the REVERSED hierarchy graph (the hierarchy
+    edges point child→parent, so region 0 is a sink upright — the
+    reverse ∘ ppr composition walks DOWN the subtree instead), fixed
+    iterations. Teleport AND dangling mass land on the seed, so
+    region 0's nations/customers/suppliers score by restart-walk
+    proximity and every other region's tree scores exactly 0
+    (round 5; the DuckDB twin unrolls the same algebra over the
+    swapped edge CTE with a rst column)."""
+    g = tg.hierarchy_graph(spark, sf_dir).reverse()
+    seed = spark.createDataFrame([(PPR_SEED, 1.0)], "id long, weight double")
+    res = pagerank(g, damping=PR_DAMPING, num_iters=PR_ITERS, reset=seed)
+    return res.state.select(
+        "id", F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("long").alias("rank_e9")
+    )
+
+
 LP_ROUNDS = 2
 
 
@@ -1086,6 +1107,44 @@ def _pagerank_oracle_sql(
     return "\n".join(parts)
 
 
+def _ppr_oracle_sql(seed_id: int = PPR_SEED, iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    """Unrolled personalized PageRank over the hierarchy graph — same
+    algebra as pagerank(reset=...): init = the normalized reset
+    distribution, and per step
+    ``(1-d)·rst + d·(msgs + dangling_mass·rst)``. The ``{1.0 - d!r}``
+    literal matches Spark's Python-side ``F.lit(1.0 - damping)``
+    (0.15000000000000002, not 0.15) so the fp op order is shared.
+    ``er`` is the REVERSED hierarchy edge set (the Spark side runs on
+    ``graph.reverse()`` — see q_ppr_region0)."""
+    parts = [
+        f"WITH {_HIER_V.strip()}, {_HIER_E.strip()},",
+        "er AS MATERIALIZED (SELECT dst AS src, src AS dst FROM e),",
+        "od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM er GROUP BY src),",
+        f"rst AS MATERIALIZED (SELECT v.id, CASE WHEN v.id = {seed_id} THEN CAST(1.0 AS DOUBLE)"
+        " ELSE CAST(0.0 AS DOUBLE) END AS rst FROM v),",
+        "r0 AS (SELECT id, rst AS rank FROM rst)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        parts.append(
+            f""", r{k} AS (
+  SELECT v.id,
+         CAST({1.0 - d!r} AS DOUBLE) * rst.rst
+         + CAST({d} AS DOUBLE) * (COALESCE(m.s, CAST(0 AS DOUBLE)) + dang.dm * rst.rst) AS rank
+  FROM v
+  JOIN rst ON rst.id = v.id
+  CROSS JOIN (SELECT COALESCE(SUM(p.rank), CAST(0 AS DOUBLE)) AS dm
+              FROM {p} p LEFT JOIN od ON od.src = p.id
+              WHERE od.src IS NULL) dang
+  LEFT JOIN (SELECT er.dst, SUM(p.rank / od.od) AS s
+             FROM er JOIN {p} p ON p.id = er.src JOIN od ON od.src = er.src
+             GROUP BY er.dst) m ON m.dst = v.id
+)"""
+        )
+    parts.append(f"\nSELECT id, CAST(floor(rank * 1e9 + 0.5) AS BIGINT) AS rank_e9 FROM r{iters}")
+    return "\n".join(parts)
+
+
 def _hits_oracle_sql(iters: int = 5) -> str:
     """Unrolled fixed-iteration HITS over the hierarchy graph — same
     algebra and fp op order as quiver_spark.algorithms.hits (hub init
@@ -1894,6 +1953,7 @@ SELECT ids.id,
 FROM ids LEFT JOIN cnt ON cnt.id = ids.id JOIN deg ON deg.id = ids.id
 """,
     "hits_hierarchy": _hits_oracle_sql(),
+    "ppr_region0": _ppr_oracle_sql(),
     # SCC twin: recursive mutual-reachability closure — a different
     # algorithm family from both the engine's FW-BW coloring and the
     # pytest Tarjan check. Closure size is bounded by the bowtie
@@ -2036,6 +2096,8 @@ QUERIES = {
     # strongly connected components on the part bowtie graph (directed
     # companion to cc_admin; recursive mutual-reach DuckDB twin)
     "scc_parts": q_scc_parts,
+    # personalized PageRank seeded at region 0 (unrolled rst-CTE twin)
+    "ppr_region0": q_ppr_region0,
 }
 
 # The driver records CORRECTNESS rows for exactly these 50 names, in

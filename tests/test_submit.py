@@ -69,6 +69,25 @@ def test_cli_rejects_warm_start_with_fixed_iters(tmp_path):
     assert exc.value.code == 2
 
 
+def test_cli_rejects_reset_with_warm_start(tmp_path):
+    """--reset (personalized teleport) + --init-ranks is rejected at
+    parse time, mirroring pagerank(reset=..., init_ranks=...) raising:
+    the warm start's renormalization assumes the uniform-teleport
+    fixpoint."""
+    sys.path.insert(0, os.path.join(ROOT, "jobs"))
+    import run as job_run
+
+    with pytest.raises(SystemExit) as exc:
+        job_run.main([
+            "pagerank",
+            "--input", str(tmp_path / "nope"),
+            "--output", str(tmp_path / "out"),
+            "--reset", str(tmp_path / "seeds"),
+            "--init-ranks", str(tmp_path / "ranks"),
+        ])
+    assert exc.value.code == 2
+
+
 def test_submit_pagerank_job_and_resume(tmp_path):
     res = _submit(
         tmp_path,
