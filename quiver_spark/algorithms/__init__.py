@@ -1,5 +1,6 @@
 from quiver_spark.algorithms.components import connected_components
 from quiver_spark.algorithms.hits import hits
+from quiver_spark.algorithms.kcore import kcore
 from quiver_spark.algorithms.labelprop import label_propagation
 from quiver_spark.algorithms.pagerank import pagerank
 from quiver_spark.algorithms.scc import strongly_connected_components
@@ -18,4 +19,5 @@ __all__ = [
     "local_clustering_coefficient",
     "hits",
     "strongly_connected_components",
+    "kcore",
 ]

@@ -483,3 +483,66 @@ def scc_local(graph: Graph, max_iters: int = 30) -> SuperstepResult:
         supersteps=k + 1,
         metrics=metrics,
     )
+
+
+# ----------------------------------------------------------------------
+# k-core decomposition
+# ----------------------------------------------------------------------
+def kcore_local(
+    graph: Graph, num_iters: int | None = None, max_iters: int = 100
+) -> SuperstepResult:
+    """Driver-numpy twin of algorithms/kcore.py: same h-index
+    propagation on the simple undirected graph, each round one
+    lexsort (dst asc, value desc) + per-group rank + ``maximum.at``
+    fold — the vectorized spelling of the window+aggregate round.
+    Same fixed/fixpoint modes and the same raise-on-``max_iters``
+    contract (integer state, bit-comparable)."""
+    spark = graph.spark
+    ids, si, di = _collect_graph(graph)
+    _guard(spark, len(si))
+    n = len(ids)
+    if n == 0:
+        return SuperstepResult(state=spark.createDataFrame([], "id long, core long"), supersteps=0)
+
+    # simple undirected: drop self-loops, canonicalize, dedup, both ways
+    a, b = np.minimum(si, di), np.maximum(si, di)
+    keep = a != b
+    key = np.unique(a[keep].astype(np.int64) * np.int64(n) + b[keep])
+    a, b = key // n, key % n
+    es = np.concatenate([a, b])
+    ed = np.concatenate([b, a])
+
+    core = np.bincount(es, minlength=n).astype(np.int64)
+    fixed = num_iters is not None
+    total = num_iters if fixed else max_iters
+    metrics: list[dict] = []
+    k = -1
+    for k in range(total):
+        t0 = time.monotonic()
+        if len(es):
+            order = np.lexsort((-core[es], ed))
+            gd, gv = ed[order], core[es][order]
+            starts = np.flatnonzero(np.r_[True, gd[1:] != gd[:-1]])
+            counts = np.diff(np.r_[starts, len(gd)])
+            rn = np.arange(len(gd)) - np.repeat(starts, counts) + 1
+            h = np.zeros(n, np.int64)
+            np.maximum.at(h, gd, np.minimum(rn, gv))
+        else:
+            h = np.zeros(n, np.int64)
+        changed = None if fixed else float((h != core).sum())
+        core = h
+        converged = (not fixed) and changed == 0.0
+        metrics.append(_metric(k, changed, t0, converged))
+        if converged:
+            break
+    if not fixed and not (metrics and metrics[-1]["converged"]):
+        raise RuntimeError(
+            f"kcore did not reach its fixpoint in max_iters={max_iters} rounds — "
+            f"raise max_iters (no silent partial coreness)"
+        )
+    pdf = pd.DataFrame({"id": ids, "core": core})
+    return SuperstepResult(
+        state=spark.createDataFrame(pdf, "id long, core long"),
+        supersteps=k + 1,
+        metrics=metrics,
+    )

@@ -200,6 +200,24 @@ def q_pagerank_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCORE_ITERS = 10  # fixpoint measured at 8 rounds on the sf0.01 bowtie; +2 margin
+
+
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness of every part in the (undirected view of the) bowtie
+    graph — h-index propagation run a fixed KCORE_ITERS rounds, which
+    is PAST the measured fixpoint (8 rounds at sf0.01, coreness 1–4),
+    so the output is the true core decomposition AND bit-comparable
+    against the unrolled window-function DuckDB twin (integer state,
+    no rounding). Round 5."""
+    from quiver_spark.algorithms.kcore import kcore
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(_scc_parts_edges(spark, sf_dir))
+    res = kcore(g, num_iters=KCORE_ITERS)
+    return res.state.select("id", "core").orderBy("id")
+
+
 PPR_SEED = 1_000_000  # region 0's vertex id in the hierarchy graph
 
 
@@ -1107,6 +1125,46 @@ def _pagerank_oracle_sql(
     return "\n".join(parts)
 
 
+def _kcore_oracle_sql(iters: int = KCORE_ITERS) -> str:
+    """Unrolled h-index-propagation coreness over the undirected view
+    of the part bowtie graph — same algebra as algorithms/kcore.py
+    (init = simple-graph degree; per round the h-index via
+    ``row_number() over (partition by dst order by c desc)`` +
+    ``max(least(rn, c))``). Integer state → EXACT fixed-round parity,
+    and KCORE_ITERS is past the measured fixpoint so the twin is also
+    the true core decomposition."""
+    parts = [
+        f"""WITH li AS (
+  SELECT l_orderkey AS o, l_linenumber AS n, CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem WHERE l_orderkey % {SCC_ORDER_MOD} = 0
+),
+e0 AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM li a JOIN li b ON a.o = b.o AND b.n = a.n + 1
+  WHERE a.p <> b.p
+),
+ec AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),
+eb AS MATERIALIZED (SELECT a AS src, b AS dst FROM ec UNION ALL SELECT b, a FROM ec),
+c0 AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS core FROM eb GROUP BY dst)"""
+    ]
+    for k in range(1, iters + 1):
+        p = f"c{k - 1}"
+        parts.append(
+            f""", c{k} AS (
+  SELECT v.id, CAST(COALESCE(h.h, 0) AS BIGINT) AS core
+  FROM c0 v LEFT JOIN (
+    SELECT id, MAX(LEAST(rn, c)) AS h FROM (
+      SELECT eb.dst AS id, p.core AS c,
+             ROW_NUMBER() OVER (PARTITION BY eb.dst ORDER BY p.core DESC) AS rn
+      FROM eb JOIN {p} p ON p.id = eb.src
+    ) GROUP BY id
+  ) h ON h.id = v.id
+)"""
+        )
+    parts.append(f"\nSELECT id, core FROM c{iters} ORDER BY id")
+    return "\n".join(parts)
+
+
 def _ppr_oracle_sql(seed_id: int = PPR_SEED, iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
     """Unrolled personalized PageRank over the hierarchy graph — same
     algebra as pagerank(reset=...): init = the normalized reset
@@ -1954,6 +2012,7 @@ FROM ids LEFT JOIN cnt ON cnt.id = ids.id JOIN deg ON deg.id = ids.id
 """,
     "hits_hierarchy": _hits_oracle_sql(),
     "ppr_region0": _ppr_oracle_sql(),
+    "kcore_parts": _kcore_oracle_sql(),
     # SCC twin: recursive mutual-reachability closure — a different
     # algorithm family from both the engine's FW-BW coloring and the
     # pytest Tarjan check. Closure size is bounded by the bowtie
@@ -2098,6 +2157,8 @@ QUERIES = {
     "scc_parts": q_scc_parts,
     # personalized PageRank seeded at region 0 (unrolled rst-CTE twin)
     "ppr_region0": q_ppr_region0,
+    # coreness via h-index propagation (unrolled window-fn twin, exact)
+    "kcore_parts": q_kcore_parts,
 }
 
 # The driver records CORRECTNESS rows for exactly these 50 names, in

@@ -228,3 +228,51 @@ def test_events_transitions_no_global_sort_on_event_stream(spark):
     for m in re.finditer(r"Exchange SinglePartition", plan):
         below = plan[m.start():m.start() + 600]
         assert "Aggregate" in below, plan  # Sort- or Hash-: the bucket summary
+
+
+def test_kcore_round_reuses_window_partitioning_for_aggregate(spark):
+    """One kcore h-index round = ONE message shuffle: the groupBy
+    after the row_number window keys on the window's own partition
+    column, so Catalyst must run the partial+final HashAggregate
+    directly on the Window output with NO Exchange in between (the
+    claim in algorithms/kcore.py's docstring)."""
+    from quiver_spark.algorithms.kcore import kcore
+    from quiver_spark.superstep import SuperstepResult
+
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    g = Graph(v, e)
+    res = kcore(g, num_iters=1, strategy="smj")
+    assert isinstance(res, SuperstepResult)
+    # rebuild one raw round frame (the runner checkpoints away the
+    # plan, so re-derive it the way step() does) and inspect its plan
+    from pyspark.sql import Window
+
+    eb = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    eb = eb.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        eb.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    state = res.state
+    msgs = eb.join(
+        state.select(F.col("id").alias("src"), F.col("core").alias("c")), "src"
+    ).select(F.col("dst").alias("id"), "c")
+    w = Window.partitionBy("id").orderBy(F.desc("c"))
+    h = (
+        msgs.withColumn("rn", F.row_number().over(w))
+        .groupBy("id")
+        .agg(F.max(F.least(F.col("rn").cast("long"), F.col("c"))).alias("h"))
+    )
+    h.count()
+    plan = _plan(h)
+    iw = plan.index("Window ")
+    # the aggregate pair sits ABOVE the window in the tree; nothing
+    # between the final HashAggregate and the Window may re-shuffle
+    ia = plan.index("HashAggregate")
+    assert ia < iw, plan
+    assert "Exchange" not in plan[ia:iw], plan
