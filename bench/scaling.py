@@ -11,7 +11,7 @@ efficiency, and prints one JSON line.
 
 Usage: python bench/scaling.py [--edges 20000000] [--vertices 2000000]
        [--iters 10] [--levels 8,32] [--strategy bhj]
-       [--algo pagerank|cc|cc_star|lp|triangles|ingest|neardup]
+       [--algo pagerank|cc|cc_star|lp|kcore|scc|triangles|ingest|neardup]
 
 One-shot modes (triangles / ingest / neardup) run the job
 SCALING_ONESHOT_RUNS times per level (env, default 2) and report the
@@ -144,6 +144,19 @@ if algo == "lp":
     g = Graph(g.vertices.withColumn("lang", (F.col("id") % 64).cast("string")), g.edges)
 g.persist(); g.count_nodes(); g.count_edges()
 
+if algo == "scc":
+    # one-shot: outer FW-BW rounds have shrinking inner fixpoints, so
+    # per-outer-round walls are not comparable supersteps — measure the
+    # whole job. The power-law graph has a giant SCC (~2/3 of vertices
+    # at avg degree 3), so the coloring/backward fixpoints do real
+    # message work. Graph cache stays warm; scc unpersists its own
+    # internals every run.
+    from quiver_spark.algorithms.scc import strongly_connected_components
+    oneshot(
+        lambda: {"n_scc": strongly_connected_components(g, strategy="smj", max_iters=60)
+                 .state.select("scc").distinct().count()},
+        n_e, "fwbw-coloring",
+    )
 if algo == "triangles":
     # input graph cache stays warm across both runs (triangle_count
     # unpersists its own internals, so run 2 re-executes the full
@@ -161,6 +174,11 @@ elif algo == "cc_star":
     res = connected_components(g, algorithm="two_phase", max_iters=iters)
 elif algo == "lp":
     res = label_propagation(g, num_iters=iters, strategy=strat, n_blocks=NB)
+elif algo == "kcore":
+    # fixed h-index rounds (integer state, convergence-independent
+    # cost); the only strategy with distributed rounds is smj
+    from quiver_spark.algorithms.kcore import kcore as _kcore
+    res = _kcore(g, num_iters=iters, strategy="smj")
 else:
     raise SystemExit(f"unknown algo {algo}")
 res.state.count()
@@ -235,15 +253,17 @@ def main() -> None:
                     help="scale the child heap with the level (N cores -> N*GB); 0 = constant 24g at every level")
     ap.add_argument(
         "--algo", default="pagerank",
-        choices=["pagerank", "cc", "cc_star", "lp", "triangles", "ingest", "neardup", "dedup_keep"],
+        choices=["pagerank", "cc", "cc_star", "lp", "kcore", "scc", "triangles", "ingest", "neardup", "dedup_keep"],
     )
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
     # one-shot modes have a single physical plan; --strategy is
     # superstep-tier only. For doc modes --edges is the row count.
-    _ONESHOT_LABEL = {"triangles": "degree-oriented", "ingest": "one-content-scan", "neardup": "minhash-lsh", "dedup_keep": "pairs-cc-keep"}
+    _ONESHOT_LABEL = {"triangles": "degree-oriented", "ingest": "one-content-scan", "neardup": "minhash-lsh", "dedup_keep": "pairs-cc-keep", "scc": "fwbw-coloring"}
     if args.algo in _ONESHOT_LABEL:
         args.strategy = _ONESHOT_LABEL[args.algo]
+    elif args.algo == "kcore":
+        args.strategy = "smj"  # the one distributed tier (kcore.py)
     from quiver_spark.boxprobe import box_control as _box_control
 
     # echo each level's raw measurement the moment it lands: a crash

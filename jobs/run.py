@@ -74,6 +74,7 @@ def main(argv: list[str] | None = None) -> int:
         "cmd",
         choices=[
             "ingest", "pagerank", "components", "labelprop", "triangles",
+            "scc", "kcore",
             "synthesize", "near-dups", "dedup-keep", "ann-index",
             "stream-ingest",
         ],
@@ -270,6 +271,23 @@ def main(argv: list[str] | None = None) -> int:
         )
         io.write(res.state, args.output)
         out = {"job": "labelprop", "supersteps": res.supersteps, "resumed_from": res.resumed_from}
+    elif args.cmd == "scc":
+        from quiver_spark.algorithms import strongly_connected_components
+
+        res = strongly_connected_components(
+            g, max_iters=args.max_iters, strategy=args.strategy, runner=runner
+        )
+        io.write(res.state, args.output)
+        out = {"job": "scc", "outer_rounds": res.supersteps, "resumed_from": res.resumed_from}
+    elif args.cmd == "kcore":
+        from quiver_spark.algorithms import kcore
+
+        res = kcore(
+            g, num_iters=args.num_iters, max_iters=args.max_iters,
+            strategy=args.strategy, runner=runner,
+        )
+        io.write(res.state, args.output)
+        out = {"job": "kcore", "supersteps": res.supersteps, "resumed_from": res.resumed_from}
     elif args.cmd == "triangles":
         from quiver_spark.algorithms import triangle_count
 

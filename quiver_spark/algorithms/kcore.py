@@ -37,11 +37,15 @@ pathological chains; like cheapestPath/scc, hitting ``max_iters`` in
 fixpoint mode raises instead of returning a silently-partial result.
 
 Tiers: ``local`` (guarded driver-numpy lexsort/reduceat twin,
-algorithms/local_tier.py) and ``smj``; ``auto`` routes via the shared
-conf-driven thresholds. No mirror/CSR tier: the round is one
-window-aggregate over a message table that never exceeds 2|E| rows —
-the known escalation is the same packed-CSR kernel shape as the other
-flagships, not built until a profile demands it.
+algorithms/local_tier.py), ``smj`` (one message shuffle per round),
+and ``bhj`` (the mirror tier: edges pre-partitioned by the
+window/aggregate key + per-round state broadcast → ZERO exchanges per
+round, only a per-partition sort; the h-output covers every
+non-isolated vertex, so no state join-back exists — static
+isolated-vertex rows are unioned instead). ``auto`` routes via the
+shared conf-driven thresholds; past the mirror vertex budget it falls
+back to smj (correct at any size) — no CSR tier until a profile
+demands one.
 """
 
 from __future__ import annotations
@@ -73,10 +77,18 @@ def kcore(
     if strategy == "auto":
         from quiver_spark import tiering
 
-        n_edges = graph.edges.count()
-        if runner.run_dir is None and n_edges <= tiering.local_max_edges(spark):
-            strategy = "local"
-        else:
+        strategy = tiering.auto_strategy(
+            spark,
+            graph.edges.count(),
+            lambda: graph.vertices.count(),
+            mirror_allowed=("bhj",),
+            allow_local=runner.run_dir is None,
+        )
+        if strategy == "csr":
+            # no beyond-broadcast tier exists for kcore: bhj's only
+            # broadcast is the vertex-sized state, so past the mirror
+            # budget fall back to smj — correct at any size, one
+            # message shuffle per round instead of zero
             strategy = "smj"
     if strategy == "local":
         from quiver_spark.algorithms import local_tier
@@ -87,11 +99,21 @@ def kcore(
                 "checkpoint/resume (run_dir) needs a distributed strategy"
             )
         return local_tier.kcore_local(graph, num_iters=num_iters, max_iters=max_iters)
-    if strategy != "smj":
-        raise ValueError(f"unknown kcore strategy {strategy!r} (local/smj/auto)")
+    if strategy not in ("smj", "bhj"):
+        raise ValueError(f"unknown kcore strategy {strategy!r} (local/smj/bhj/auto)")
 
     # simple undirected message edges: canonicalize, dedup, both
-    # orientations; one static frame persisted for every round
+    # orientations; one static frame persisted for every round. The
+    # bhj mirror tier pre-partitions it by the window/aggregate key so
+    # the per-round plan is ZERO-exchange: broadcast state join (keeps
+    # the streamed side's partitioning) → window partitionBy(dst) over
+    # the resident layout (per-partition sort only — the values change
+    # every round, the clustering never does) → same-key aggregate →
+    # broadcast old-state join for in-frame change detection. The
+    # h-output is dst-complete (every non-isolated vertex receives
+    # messages every round), so unlike PageRank's bhj no join-back
+    # onto the state is needed — the static isolated-vertex rows are
+    # unioned in instead.
     canon = (
         graph.edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -99,11 +121,13 @@ def kcore(
         .where(F.col("a") != F.col("b"))
         .dropDuplicates()
     )
-    eb = (
-        canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(canon.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .persist()
+    eb = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
+    if strategy == "bhj":
+        n_blocks = max(spark.sparkContext.defaultParallelism, 8)
+        eb = eb.repartition(n_blocks, "dst")
+    eb = eb.persist()
     eb.count()
 
     deg = eb.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("core"))
@@ -112,12 +136,22 @@ def kcore(
         .join(deg, "id", "left")
         .select("id", F.coalesce(F.col("core"), F.lit(0)).cast("long").alias("core"))
     )
+    iso = None
+    if strategy == "bhj":
+        iso = (
+            graph.vertices.select("id")
+            .join(eb.select(F.col("dst").alias("id")), "id", "left_anti")
+            .select("id", F.lit(0).cast("long").alias("core"), F.lit(False).alias("_changed"))
+            .persist()
+        )
+        iso.count()
 
     fixed = num_iters is not None
     total = num_iters if fixed else max_iters
     w = Window.partitionBy("id").orderBy(F.desc("c"))
+    wd = Window.partitionBy("dst").orderBy(F.desc("c"))
 
-    def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
+    def step_smj(state: DataFrame) -> DataFrame:
         msgs = eb.join(
             state.select(F.col("id").alias("src"), F.col("core").alias("c")), "src"
         ).select(F.col("dst").alias("id"), "c")
@@ -126,11 +160,36 @@ def kcore(
             .groupBy("id")
             .agg(F.max(F.least(F.col("rn").cast("long"), F.col("c"))).alias("h"))
         )
-        new_state = state.join(h, "id", "left").select(
+        return state.join(h, "id", "left").select(
             "id",
             F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("core"),
             (F.coalesce(F.col("h"), F.lit(0)) != F.col("core")).alias("_changed"),
         )
+
+    def step_bhj(state: DataFrame) -> DataFrame:
+        msgs = eb.join(
+            F.broadcast(state.select(F.col("id").alias("src"), F.col("core").alias("c"))),
+            "src",
+        ).select("dst", "c")
+        h = (
+            msgs.withColumn("rn", F.row_number().over(wd))
+            .groupBy("dst")
+            .agg(F.max(F.least(F.col("rn").cast("long"), F.col("c"))).alias("h"))
+        )
+        upd = h.join(
+            F.broadcast(state.select(F.col("id").alias("dst"), F.col("core").alias("_old"))),
+            "dst",
+        ).select(
+            F.col("dst").alias("id"),
+            F.col("h").cast("long").alias("core"),
+            (F.col("h") != F.col("_old")).alias("_changed"),
+        )
+        return upd.unionByName(iso)
+
+    body = step_bhj if strategy == "bhj" else step_smj
+
+    def step(state: DataFrame, k: int) -> tuple[DataFrame, float | None]:
+        new_state = body(state)
         if fixed:
             return new_state.drop("_changed"), None
         new_state = truncated_checkpoint(new_state)
@@ -149,6 +208,8 @@ def kcore(
         )
     finally:
         eb.unpersist()
+        if iso is not None:
+            iso.unpersist()
     if not fixed and not res.converged:
         raise RuntimeError(
             f"kcore did not reach its fixpoint in max_iters={max_iters} rounds — "

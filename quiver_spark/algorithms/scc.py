@@ -261,3 +261,35 @@ def strongly_connected_components(
             f"given) hold the partial state for resume"
         )
     return res
+
+
+def condensation(graph: Graph, scc_state: DataFrame | None = None, **scc_kwargs) -> Graph:
+    """The condensation DAG: one vertex per SCC (id = the component's
+    canonical min-member id, label ``size`` = member count), one edge
+    per ordered pair of DISTINCT components connected by ≥1 original
+    edge. The classic second step after SCC (cycle-free import order,
+    bowtie analysis) and quiver's ``gmap``-style quotient expressed as
+    two joins + a distinct [pub: Verizon/quiver
+    core/src/main/scala/quiver/Graph.scala#gmap].
+
+    ``scc_state``: reuse an existing ``(id, scc)`` assignment (e.g.
+    from a checkpointed run) instead of recomputing; extra kwargs go
+    to :func:`strongly_connected_components` otherwise. Plan shape:
+    the edge projection is two state joins + one distinct — the state
+    is vertex-sized, so both joins broadcast whenever the vertex table
+    fits and degrade to shuffles beyond, with no step that ever holds
+    a component in one place.
+    """
+    if scc_state is None:
+        scc_state = strongly_connected_components(graph, **scc_kwargs).state
+    v = scc_state.groupBy(F.col("scc").alias("id")).agg(F.count(F.lit(1)).alias("size"))
+    s = scc_state
+    e = (
+        graph.edges.select("src", "dst")
+        .join(s.select(F.col("id").alias("src"), F.col("scc").alias("_cs")), "src")
+        .join(s.select(F.col("id").alias("dst"), F.col("scc").alias("_cd")), "dst")
+        .where(F.col("_cs") != F.col("_cd"))
+        .select(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))
+        .dropDuplicates()
+    )
+    return Graph(v, e)

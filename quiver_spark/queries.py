@@ -218,6 +218,56 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", "core").orderBy("id")
 
 
+def q_scc_condensation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG of the part bowtie graph: one row per
+    cross-component edge, carrying both endpoint components' sizes —
+    exercises condensation()'s vertex (size) AND edge (distinct
+    quotient pairs) outputs in one oracled shape. Round 5."""
+    from quiver_spark.algorithms.scc import condensation
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(_scc_parts_edges(spark, sf_dir))
+    dag = condensation(g)
+    v = dag.vertices
+    return (
+        dag.edges.join(
+            v.withColumnRenamed("id", "src").withColumnRenamed("size", "src_size"), "src"
+        )
+        .join(v.withColumnRenamed("id", "dst").withColumnRenamed("size", "dst_size"), "dst")
+        .select("src", "dst", "src_size", "dst_size")
+        .orderBy("src", "dst")
+    )
+
+
+def q_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity moments of the undirected bowtie graph —
+    the EXACT integer sums (n, Σx, Σxy, Σx²) over the 2|E| directed
+    edge-end degree pairs (symmetric: Σy=Σx, Σy²=Σx², so Pearson's
+    r = (n·Σxy − Σx²)/(n·Σx² − (Σx)²) is fully determined). Emitting
+    the integer moments instead of r keeps the oracle bit-exact — no
+    fp summation order anywhere. Round 5."""
+    e0 = _scc_parts_edges(spark, sf_dir)
+    canon = (
+        e0.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    eb = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = eb.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).cast("long").alias("d"))
+    pairs = (
+        eb.join(deg.withColumnRenamed("id", "src").withColumnRenamed("d", "dx"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("d", "dy"), "dst")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+    )
+
+
 PPR_SEED = 1_000_000  # region 0's vertex id in the hierarchy graph
 
 
@@ -1125,6 +1175,48 @@ def _pagerank_oracle_sql(
     return "\n".join(parts)
 
 
+_BOWTIE_SCC_CTES = """
+li AS (
+  SELECT l_orderkey AS o, l_linenumber AS n, CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem WHERE l_orderkey % {mod} = 0
+),
+e AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM li a JOIN li b ON a.o = b.o AND b.n = a.n + 1
+  WHERE a.p <> b.p
+),
+verts AS (
+  SELECT DISTINCT v AS id FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+),
+reach(s, d) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.d
+),
+scc AS (
+  SELECT r1.s AS id, MIN(r1.d) AS scc
+  FROM reach r1 JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s
+  GROUP BY r1.s
+)"""
+
+
+def _scc_condensation_oracle_sql() -> str:
+    """Condensation twin: the scc_parts mutual-reach closure, then the
+    quotient — component sizes + distinct cross-component edges."""
+    return f"""
+WITH RECURSIVE {_BOWTIE_SCC_CTES.format(mod=SCC_ORDER_MOD).strip()},
+sizes AS (SELECT scc AS id, CAST(count(*) AS BIGINT) AS size FROM scc GROUP BY scc),
+ce AS (
+  SELECT DISTINCT s1.scc AS src, s2.scc AS dst
+  FROM e JOIN scc s1 ON s1.id = e.src JOIN scc s2 ON s2.id = e.dst
+  WHERE s1.scc <> s2.scc
+)
+SELECT ce.src, ce.dst, v1.size AS src_size, v2.size AS dst_size
+FROM ce JOIN sizes v1 ON v1.id = ce.src JOIN sizes v2 ON v2.id = ce.dst
+ORDER BY ce.src, ce.dst
+"""
+
+
 def _kcore_oracle_sql(iters: int = KCORE_ITERS) -> str:
     """Unrolled h-index-propagation coreness over the undirected view
     of the part bowtie graph — same algebra as algorithms/kcore.py
@@ -2013,6 +2105,27 @@ FROM ids LEFT JOIN cnt ON cnt.id = ids.id JOIN deg ON deg.id = ids.id
     "hits_hierarchy": _hits_oracle_sql(),
     "ppr_region0": _ppr_oracle_sql(),
     "kcore_parts": _kcore_oracle_sql(),
+    "scc_condensation_parts": _scc_condensation_oracle_sql(),
+    # assortativity: exact integer moments — no fp anywhere, plain agg
+    "assortativity_parts": f"""
+WITH li AS (
+  SELECT l_orderkey AS o, l_linenumber AS n, CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem WHERE l_orderkey % {SCC_ORDER_MOD} = 0
+),
+e0 AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM li a JOIN li b ON a.o = b.o AND b.n = a.n + 1
+  WHERE a.p <> b.p
+),
+ec AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),
+eb AS (SELECT a AS src, b AS dst FROM ec UNION ALL SELECT b, a FROM ec),
+deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM eb GROUP BY src)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(dx.d) AS BIGINT) AS sx,
+       CAST(SUM(dx.d * dy.d) AS BIGINT) AS sxy,
+       CAST(SUM(dx.d * dx.d) AS BIGINT) AS sxx
+FROM eb JOIN deg dx ON dx.id = eb.src JOIN deg dy ON dy.id = eb.dst
+""",
     # SCC twin: recursive mutual-reachability closure — a different
     # algorithm family from both the engine's FW-BW coloring and the
     # pytest Tarjan check. Closure size is bounded by the bowtie
@@ -2020,28 +2133,8 @@ FROM ids LEFT JOIN cnt ON cnt.id = ids.id JOIN deg ON deg.id = ids.id
     # Dedup spelled DISTINCT-over-UNION-ALL per the DuckDB 1.0
     # WITH RECURSIVE + plain-UNION-in-CTE quirk (NOTES_r5.md).
     "scc_parts": f"""
-WITH RECURSIVE
-li AS (
-  SELECT l_orderkey AS o, l_linenumber AS n, CAST(l_partkey AS BIGINT) AS p
-  FROM lineitem WHERE l_orderkey % {SCC_ORDER_MOD} = 0
-),
-e AS (
-  SELECT DISTINCT a.p AS src, b.p AS dst
-  FROM li a JOIN li b ON a.o = b.o AND b.n = a.n + 1
-  WHERE a.p <> b.p
-),
-verts AS (
-  SELECT DISTINCT v AS id FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
-),
-reach(s, d) AS (
-  SELECT id, id FROM verts
-  UNION
-  SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.d
-)
-SELECT r1.s AS id, MIN(r1.d) AS scc
-FROM reach r1 JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s
-GROUP BY r1.s
-ORDER BY id
+WITH RECURSIVE {_BOWTIE_SCC_CTES.format(mod=SCC_ORDER_MOD).strip()}
+SELECT id, scc FROM scc ORDER BY id
 """,
 }
 
@@ -2159,6 +2252,10 @@ QUERIES = {
     "ppr_region0": q_ppr_region0,
     # coreness via h-index propagation (unrolled window-fn twin, exact)
     "kcore_parts": q_kcore_parts,
+    # condensation DAG of the bowtie graph (scc quotient, exact twin)
+    "scc_condensation_parts": q_scc_condensation_parts,
+    # degree-assortativity integer moments (bit-exact, no fp)
+    "assortativity_parts": q_assortativity_parts,
 }
 
 # The driver records CORRECTNESS rows for exactly these 50 names, in

@@ -132,3 +132,31 @@ def test_kcore_auto_routes_local_then_smj(spark):
         assert _run(g, strategy="auto") == expect
     finally:
         spark.conf.unset(tiering.LOCAL_MAX_EDGES_KEY)
+
+
+def test_kcore_bhj_matches_peeling_and_other_tiers(spark):
+    vertices, edges = _random_case(5, 25, 60)
+    g = _mk(spark, vertices, edges)
+    expect = peel_coreness(vertices, edges)
+    assert _run(g, strategy="bhj", max_iters=300) == expect
+    for k in (1, 3):
+        assert _run(g, strategy="bhj", num_iters=k) == _run(g, strategy="local", num_iters=k)
+
+
+def test_kcore_bhj_isolated_vertices_zero(spark):
+    g = _mk(spark, [1, 2, 3], [(1, 2)])
+    assert _run(g, strategy="bhj") == {1: 1, 2: 1, 3: 0}
+
+
+def test_kcore_auto_mirror_regime_picks_bhj(spark):
+    """Force the mirror regime (local + smj thresholds zeroed): auto
+    must route kcore to bhj and still produce the right coreness."""
+    g = _mk(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 1), (3, 4)])
+    expect = {1: 2, 2: 2, 3: 2, 4: 1}
+    spark.conf.set(tiering.LOCAL_MAX_EDGES_KEY, "0")
+    spark.conf.set(tiering.SMJ_MAX_EDGES_KEY, "0")
+    try:
+        assert _run(g, strategy="auto") == expect
+    finally:
+        spark.conf.unset(tiering.LOCAL_MAX_EDGES_KEY)
+        spark.conf.unset(tiering.SMJ_MAX_EDGES_KEY)

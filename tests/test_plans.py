@@ -276,3 +276,67 @@ def test_kcore_round_reuses_window_partitioning_for_aggregate(spark):
     ia = plan.index("HashAggregate")
     assert ia < iw, plan
     assert "Exchange" not in plan[ia:iw], plan
+
+
+def test_kcore_bhj_round_is_zero_exchange(spark):
+    """The kcore mirror tier's per-round plan must contain NO Exchange
+    at all: the message edges are persisted pre-partitioned by the
+    window/aggregate key, the state arrives by broadcast (twice), and
+    the h-output is dst-complete so no state join-back exists. Build
+    one raw bhj round the way kcore.py does and assert the executed
+    plan has zero shuffle exchanges (broadcast exchanges are the
+    design, not a shuffle)."""
+    from pyspark.sql import Window
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)], "src long, dst long"
+    )
+    canon = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    eb = (
+        canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(canon.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition(8, "dst")
+        .persist()
+    )
+    eb.count()
+    state = spark.createDataFrame([(i, 2) for i in range(5)], "id long, core long")
+    msgs = eb.join(
+        F.broadcast(state.select(F.col("id").alias("src"), F.col("core").alias("c"))), "src"
+    ).select("dst", "c")
+    wd = Window.partitionBy("dst").orderBy(F.desc("c"))
+    h = (
+        msgs.withColumn("rn", F.row_number().over(wd))
+        .groupBy("dst")
+        .agg(F.max(F.least(F.col("rn").cast("long"), F.col("c"))).alias("h"))
+    )
+    upd = h.join(
+        F.broadcast(state.select(F.col("id").alias("dst"), F.col("core").alias("_old"))), "dst"
+    ).select(F.col("dst").alias("id"), F.col("h").cast("long").alias("core"))
+    upd.count()
+    plan = _plan(upd)
+    eb.unpersist()
+    # the InMemoryRelation subtrees replay the ONE-TIME static eb
+    # build (repartition + dedup) — executed at persist time, not per
+    # round; the per-round plan is what sits outside them
+    lines = []
+    skip_indent = None
+    for l in plan.splitlines():
+        indent = len(l) - len(l.lstrip(" :+-*("))
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in l:
+            skip_indent = indent
+            continue
+        lines.append(l)
+    shuffles = [
+        l for l in lines
+        if "Exchange" in l and "BroadcastExchange" not in l and "ReusedExchange" not in l
+    ]
+    assert not shuffles, plan
+    assert any("Window" in l for l in lines) and any("BroadcastHashJoin" in l for l in lines), plan

@@ -202,3 +202,63 @@ def test_scc_parts_query_matches_tarjan(spark):
     expect = tarjan_scc(vertices, pairs)
     got = {r["id"]: r["scc"] for r in q_scc_parts(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_condensation_quotient_laws(spark):
+    """Condensation of the two-cycle chain: 3 component vertices with
+    size 2 each, 2 quotient edges, acyclic (its own SCCs are
+    singletons — the defining property of a condensation)."""
+    from quiver_spark.algorithms.scc import condensation, strongly_connected_components
+
+    edges = [(10, 11), (11, 10), (6, 7), (7, 6), (2, 3), (3, 2), (10, 6), (6, 2)]
+    g = _mk(spark, [2, 3, 6, 7, 10, 11], edges)
+    dag = condensation(g)
+    v = {r["id"]: r["size"] for r in dag.vertices.collect()}
+    e = sorted((r["src"], r["dst"]) for r in dag.edges.collect())
+    assert v == {10: 2, 6: 2, 2: 2}
+    assert e == [(6, 2), (10, 6)]
+    # acyclicity: the condensation's own SCCs are all singletons
+    sccs = {r["scc"] for r in strongly_connected_components(dag).state.collect()}
+    assert len(sccs) == len(v)
+    # reusing a precomputed assignment skips the recompute and agrees
+    state = strongly_connected_components(g).state
+    dag2 = condensation(g, scc_state=state)
+    assert sorted((r["src"], r["dst"]) for r in dag2.edges.collect()) == e
+
+
+def test_condensation_parallel_and_internal_edges_collapse(spark):
+    """Multiple original edges between the same two components become
+    ONE quotient edge; intra-component edges vanish."""
+    from quiver_spark.algorithms.scc import condensation
+
+    edges = [(1, 2), (2, 1), (3, 4), (4, 3), (1, 3), (2, 4), (1, 4)]
+    g = _mk(spark, [1, 2, 3, 4], edges)
+    dag = condensation(g)
+    assert {r["id"]: r["size"] for r in dag.vertices.collect()} == {1: 2, 3: 2}
+    assert [(r["src"], r["dst"]) for r in dag.edges.collect()] == [(1, 3)]
+
+
+def test_assortativity_moments_closed_form(spark):
+    """Star K_{1,3}: 6 directed edge-ends; hub degree 3, leaves 1 —
+    n=6, Σx=2·(3+1+1+1)=12, Σxy=6·3=18, Σx²=3·9+3·1=30 (and the
+    derived Pearson r = (6·18−12²)/(6·30−12²) = −1, the exact
+    anti-assortative extreme)."""
+    from pyspark.sql import functions as F
+
+    eb0 = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    canon = eb0.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")).dropDuplicates()
+    eb = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = eb.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).cast("long").alias("d"))
+    pairs = (
+        eb.join(deg.withColumnRenamed("id", "src").withColumnRenamed("d", "dx"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("d", "dy"), "dst")
+    )
+    row = pairs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"), F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+    ).collect()[0]
+    assert (row["n"], row["sx"], row["sxy"], row["sxx"]) == (6, 12, 18, 30)
+    r = (row["n"] * row["sxy"] - row["sx"] ** 2) / (row["n"] * row["sxx"] - row["sx"] ** 2)
+    assert r == -1.0
