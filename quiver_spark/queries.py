@@ -268,6 +268,20 @@ def q_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linkpred_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the undirected bowtie graph: every
+    non-adjacent pair at distance 2 with its common-neighbor count and
+    resource-allocation index. ``ra_e12`` is the exact integer
+    Σ floor(1e12/deg(z)) — integer per wedge, so the sum is bit-exact
+    under any aggregation order and the DuckDB twin needs no fp
+    rounding escape hatch. Round 5."""
+    from quiver_spark.algorithms.linkpred import link_prediction
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(_scc_parts_edges(spark, sf_dir))
+    return link_prediction(g).orderBy("a", "b")
+
+
 PPR_SEED = 1_000_000  # region 0's vertex id in the hierarchy graph
 
 
@@ -2126,6 +2140,38 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(dx.d * dx.d) AS BIGINT) AS sxx
 FROM eb JOIN deg dx ON dx.id = eb.src JOIN deg dy ON dy.id = eb.dst
 """,
+    # link prediction: exact integer RA weights (floor BEFORE the sum,
+    # so aggregation order cannot move a bit); 1e12/d spelled as float
+    # division + floor on both sides — DuckDB's double→BIGINT cast
+    # rounds while Spark's truncates, so the floor must be explicit
+    "linkpred_parts": f"""
+WITH li AS (
+  SELECT l_orderkey AS o, l_linenumber AS n, CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem WHERE l_orderkey % {SCC_ORDER_MOD} = 0
+),
+e0 AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM li a JOIN li b ON a.o = b.o AND b.n = a.n + 1
+  WHERE a.p <> b.p
+),
+ec AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),
+eb AS (SELECT a AS z, b AS v FROM ec UNION ALL SELECT b, a FROM ec),
+deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM eb GROUP BY z),
+ctr AS (
+  SELECT eb.z, eb.v, CAST(floor(1000000000000.0 / deg.d) AS BIGINT) AS w
+  FROM eb JOIN deg ON deg.z = eb.z
+),
+pairs AS (
+  SELECT l.v AS a, r.v AS b,
+         CAST(count(*) AS BIGINT) AS common,
+         CAST(sum(l.w) AS BIGINT) AS ra_e12
+  FROM ctr l JOIN ctr r ON r.z = l.z AND l.v < r.v
+  GROUP BY l.v, r.v
+)
+SELECT a, b, common, ra_e12 FROM pairs
+WHERE NOT EXISTS (SELECT 1 FROM ec WHERE ec.a = pairs.a AND ec.b = pairs.b)
+ORDER BY a, b
+""",
     # SCC twin: recursive mutual-reachability closure — a different
     # algorithm family from both the engine's FW-BW coloring and the
     # pytest Tarjan check. Closure size is bounded by the bowtie
@@ -2256,6 +2302,8 @@ QUERIES = {
     "scc_condensation_parts": q_scc_condensation_parts,
     # degree-assortativity integer moments (bit-exact, no fp)
     "assortativity_parts": q_assortativity_parts,
+    # link prediction: common neighbors + exact-integer RA index
+    "linkpred_parts": q_linkpred_parts,
 }
 
 # The driver records CORRECTNESS rows for exactly these 50 names, in
