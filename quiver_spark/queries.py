@@ -268,6 +268,44 @@ def q_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ECC_CAP = 40  # landmark BFS depth cap; measured max ecc 19 on the sf0.01 bowtie
+
+
+def _bowtie_landmarks(spark: SparkSession, sf_dir: str):
+    """The bowtie graph + its 8 smallest vertex ids as deterministic
+    landmark seeds (K ≪ V is the landmark method's premise; the ≤8-row
+    collect is a driver-side seed list, not data)."""
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(_scc_parts_edges(spark, sf_dir))
+    seeds = [r.id for r in g.vertices.orderBy("id").limit(8).collect()]
+    return g, seeds
+
+
+def q_harmonic_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark harmonic-centrality terms on the undirected bowtie
+    graph from the 8 smallest vertex ids: per vertex, the number of
+    seeds that reach it and the exact integer Σ floor(1e9/dist) —
+    bit-exact under any aggregation order, so the DuckDB twin (a
+    bounded recursive BFS closure + the same floor) needs no fp
+    rounding escape hatch. Round 5."""
+    from quiver_spark.algorithms.centrality import harmonic_centrality
+
+    g, seeds = _bowtie_landmarks(spark, sf_dir)
+    return harmonic_centrality(g, seeds, max_depth=ECC_CAP).orderBy("id")
+
+
+def q_ecc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-seed eccentricity + reachable-set size from the same 8
+    landmarks (max row = the standard landmark lower bound on the
+    bowtie's diameter; measured 19 at sf0.01, so the ECC_CAP=40 bound
+    shared with the DuckDB twin is past the true fixpoint). Round 5."""
+    from quiver_spark.algorithms.centrality import eccentricity
+
+    g, seeds = _bowtie_landmarks(spark, sf_dir)
+    return eccentricity(g, seeds, max_depth=ECC_CAP).orderBy("seed")
+
+
 def q_linkpred_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction on the undirected bowtie graph: every
     non-adjacent pair at distance 2 with its common-neighbor count and
@@ -1212,6 +1250,32 @@ scc AS (
   FROM reach r1 JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s
   GROUP BY r1.s
 )"""
+
+
+_LANDMARK_CTES = """
+li AS (
+  SELECT l_orderkey AS o, l_linenumber AS n, CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem WHERE l_orderkey % {mod} = 0
+),
+e0 AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM li a JOIN li b ON a.o = b.o AND b.n = a.n + 1
+  WHERE a.p <> b.p
+),
+eb AS (
+  SELECT DISTINCT src, dst
+  FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+),
+ids AS (SELECT DISTINCT src AS id FROM eb),
+seeds AS (SELECT id FROM ids ORDER BY id LIMIT 8),
+walk(seed, id, dist) AS (
+  SELECT id, id, 0 FROM seeds
+  UNION
+  SELECT w.seed, eb.dst, w.dist + 1
+  FROM walk w JOIN eb ON eb.src = w.id
+  WHERE w.dist < {cap}
+),
+d AS (SELECT seed, id, MIN(dist) AS dist FROM walk GROUP BY seed, id)"""
 
 
 def _scc_condensation_oracle_sql() -> str:
@@ -2172,6 +2236,25 @@ SELECT a, b, common, ra_e12 FROM pairs
 WHERE NOT EXISTS (SELECT 1 FROM ec WHERE ec.a = pairs.a AND ec.b = pairs.b)
 ORDER BY a, b
 """,
+    # landmark BFS twins: bounded recursive closure over (seed,id,dist)
+    # triples — UNION dedups triples so cycles stay finite under the
+    # shared ECC_CAP bound (past the measured fixpoint, like KCORE_ITERS);
+    # min-dist per (seed,id) then the same exact-integer floor terms.
+    # Non-recursive dedup spelled DISTINCT-over-UNION-ALL (DuckDB 1.0
+    # WITH RECURSIVE + plain-UNION-in-CTE quirk, NOTES_r5.md).
+    "harmonic_parts": f"""
+WITH RECURSIVE {_LANDMARK_CTES.format(mod=SCC_ORDER_MOD, cap=ECC_CAP).strip()}
+SELECT id,
+       CAST(count(*) AS BIGINT) AS reach,
+       CAST(SUM(CAST(floor(1000000000.0 / dist) AS BIGINT)) AS BIGINT) AS hsum_e9
+FROM d WHERE dist >= 1
+GROUP BY id ORDER BY id
+""",
+    "ecc_parts": f"""
+WITH RECURSIVE {_LANDMARK_CTES.format(mod=SCC_ORDER_MOD, cap=ECC_CAP).strip()}
+SELECT seed, CAST(MAX(dist) AS BIGINT) AS ecc, CAST(count(*) AS BIGINT) AS reached
+FROM d GROUP BY seed ORDER BY seed
+""",
     # SCC twin: recursive mutual-reachability closure — a different
     # algorithm family from both the engine's FW-BW coloring and the
     # pytest Tarjan check. Closure size is bounded by the bowtie
@@ -2304,6 +2387,9 @@ QUERIES = {
     "assortativity_parts": q_assortativity_parts,
     # link prediction: common neighbors + exact-integer RA index
     "linkpred_parts": q_linkpred_parts,
+    # landmark harmonic centrality + eccentricity (per-seed BFS)
+    "harmonic_parts": q_harmonic_parts,
+    "ecc_parts": q_ecc_parts,
 }
 
 # The driver records CORRECTNESS rows for exactly these 50 names, in
