@@ -306,6 +306,38 @@ def q_ecc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eccentricity(g, seeds, max_depth=ECC_CAP).orderBy("seed")
 
 
+ANF_ROUNDS, ANF_K, ANF_BITS = 3, 8, 20  # fixed rounds → bit-exact twin
+
+
+def q_anf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF Flajolet-Martin masks after ANF_ROUNDS OR-propagation
+    rounds on the undirected bowtie graph, plus the exact integer
+    r_sum (Σ least-significant-zero positions). Pure int64 bit
+    arithmetic end to end, and the hash/init/lsz CASE ladders are the
+    SAME generated ANSI-SQL text the DuckDB twin runs — parity by
+    construction. Round 5."""
+    from quiver_spark.algorithms.anf import anf, with_r_sum
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(_scc_parts_edges(spark, sf_dir))
+    res = anf(g, radius=ANF_ROUNDS, k=ANF_K, bits=ANF_BITS, direction="both")
+    return with_r_sum(res.state, ANF_K, ANF_BITS).orderBy("id")
+
+
+def q_anf_nf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The neighborhood-function sweep on the same bowtie: exact rows
+    (h, r_sum_total, n) for h = 0..ANF_ROUNDS — the integer artifact
+    behind the mean-ball-size / effective-diameter estimates. Round 5."""
+    from quiver_spark.algorithms.anf import neighborhood_function
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(_scc_parts_edges(spark, sf_dir))
+    nf = neighborhood_function(
+        g, h_max=ANF_ROUNDS, k=ANF_K, bits=ANF_BITS, direction="both"
+    )
+    return spark.createDataFrame(nf, "h long, r_sum_total long, n long").orderBy("h")
+
+
 def q_linkpred_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction on the undirected bowtie graph: every
     non-adjacent pair at distance 2 with its common-neighbor count and
@@ -1252,7 +1284,9 @@ scc AS (
 )"""
 
 
-_LANDMARK_CTES = """
+# undirected bowtie as shared CTE text (li → consecutive-pair edges →
+# symmetrized eb → vertex set); landmark + ANF twins both start here
+_BOWTIE_UNDIR_CTES = """
 li AS (
   SELECT l_orderkey AS o, l_linenumber AS n, CAST(l_partkey AS BIGINT) AS p
   FROM lineitem WHERE l_orderkey % {mod} = 0
@@ -1266,7 +1300,9 @@ eb AS (
   SELECT DISTINCT src, dst
   FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
 ),
-ids AS (SELECT DISTINCT src AS id FROM eb),
+ids AS (SELECT DISTINCT src AS id FROM eb)"""
+
+_LANDMARK_CTES = _BOWTIE_UNDIR_CTES + """,
 seeds AS (SELECT id FROM ids ORDER BY id LIMIT 8),
 walk(seed, id, dist) AS (
   SELECT id, id, 0 FROM seeds
@@ -1276,6 +1312,70 @@ walk(seed, id, dist) AS (
   WHERE w.dist < {cap}
 ),
 d AS (SELECT seed, id, MIN(dist) AS dist FROM walk GROUP BY seed, id)"""
+
+
+def _anf_mcols() -> list[str]:
+    return [f"m{j}" for j in range(ANF_K)]
+
+
+def _anf_ctes() -> str:
+    """Unrolled ANF rounds as CTE text: s0 = the generated init-mask
+    ladders (the SAME strings anf.py feeds F.expr), s{t} = one
+    bit_or aggregation over neighbor+self messages — the twin
+    re-derives every mask bit from the shared parquet, no Spark
+    artifacts cross the boundary."""
+    from quiver_spark.algorithms.anf import fm_init_expr, fm_params
+
+    mcols = _anf_mcols()
+    init_cols = ",\n    ".join(
+        f"{fm_init_expr(a, b, ANF_BITS, 'id')} AS {m}"
+        for (a, b), m in zip(fm_params(ANF_K), mcols)
+    )
+    pass_cols = ", ".join(mcols)
+    ors = ", ".join(f"bit_or({m}) AS {m}" for m in mcols)
+    parts = [
+        _BOWTIE_UNDIR_CTES.format(mod=SCC_ORDER_MOD).strip(),
+        f"s0 AS (\n  SELECT id,\n    {init_cols}\n  FROM ids\n)",
+    ]
+    for t in range(1, ANF_ROUNDS + 1):
+        parts.append(
+            f"""s{t} AS (
+  SELECT id, {ors} FROM (
+    SELECT eb.src AS id, {pass_cols} FROM eb JOIN s{t - 1} s ON s.id = eb.dst
+    UNION ALL SELECT id, {pass_cols} FROM s{t - 1}
+  ) GROUP BY id
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _anf_r_sum_expr() -> str:
+    from quiver_spark.algorithms.anf import fm_lsz_expr
+
+    return "(" + " + ".join(fm_lsz_expr(ANF_BITS, m) for m in _anf_mcols()) + ")"
+
+
+def _anf_oracle_sql() -> str:
+    return f"""
+WITH {_anf_ctes()}
+SELECT id, {', '.join(_anf_mcols())},
+       CAST({_anf_r_sum_expr()} AS BIGINT) AS r_sum
+FROM s{ANF_ROUNDS} ORDER BY id
+"""
+
+
+def _anf_nf_oracle_sql() -> str:
+    per_h = "\n    UNION ALL ".join(
+        f"SELECT CAST({h} AS BIGINT) AS h, CAST(SUM({_anf_r_sum_expr()}) AS BIGINT)"
+        f" AS r_sum_total, CAST(count(*) AS BIGINT) AS n FROM s{h}"
+        for h in range(ANF_ROUNDS + 1)
+    )
+    return f"""
+WITH {_anf_ctes()}
+SELECT * FROM (
+    {per_h}
+) ORDER BY h
+"""
 
 
 def _scc_condensation_oracle_sql() -> str:
@@ -2183,6 +2283,11 @@ FROM ids LEFT JOIN cnt ON cnt.id = ids.id JOIN deg ON deg.id = ids.id
     "hits_hierarchy": _hits_oracle_sql(),
     "ppr_region0": _ppr_oracle_sql(),
     "kcore_parts": _kcore_oracle_sql(),
+    # ANF twins: unrolled bit_or rounds over the SAME generated hash /
+    # init / lsz CASE-ladder text the engine runs — int64 bit
+    # arithmetic end to end, no fp escape hatch
+    "anf_parts": _anf_oracle_sql(),
+    "anf_nf_parts": _anf_nf_oracle_sql(),
     "scc_condensation_parts": _scc_condensation_oracle_sql(),
     # assortativity: exact integer moments — no fp anywhere, plain agg
     "assortativity_parts": f"""
@@ -2390,6 +2495,9 @@ QUERIES = {
     # landmark harmonic centrality + eccentricity (per-seed BFS)
     "harmonic_parts": q_harmonic_parts,
     "ecc_parts": q_ecc_parts,
+    # ANF: FM-bitmask neighborhood function + per-vertex masks
+    "anf_parts": q_anf_parts,
+    "anf_nf_parts": q_anf_nf_parts,
 }
 
 # The driver records CORRECTNESS rows for exactly these 50 names, in
