@@ -11,7 +11,7 @@ efficiency, and prints one JSON line.
 
 Usage: python bench/scaling.py [--edges 20000000] [--vertices 2000000]
        [--iters 10] [--levels 8,32] [--strategy bhj]
-       [--algo pagerank|cc|cc_star|lp|kcore|scc|triangles|ingest|neardup]
+       [--algo pagerank|cc|cc_star|lp|kcore|scc|anf|triangles|ingest|neardup]
 
 One-shot modes (triangles / ingest / neardup) run the job
 SCALING_ONESHOT_RUNS times per level (env, default 2) and report the
@@ -179,6 +179,11 @@ elif algo == "kcore":
     # cost); the only strategy with distributed rounds is smj
     from quiver_spark.algorithms.kcore import kcore as _kcore
     res = _kcore(g, num_iters=iters, strategy="smj")
+elif algo == "anf":
+    # fixed OR-propagation rounds, k=8 FM masks: per superstep one
+    # shuffle of (E+V) x 9 longs with map-side bit_or combine
+    from quiver_spark.algorithms.anf import anf as _anf
+    res = _anf(g, radius=iters, k=8, bits=24, direction="out")
 else:
     raise SystemExit(f"unknown algo {algo}")
 res.state.count()
@@ -253,7 +258,7 @@ def main() -> None:
                     help="scale the child heap with the level (N cores -> N*GB); 0 = constant 24g at every level")
     ap.add_argument(
         "--algo", default="pagerank",
-        choices=["pagerank", "cc", "cc_star", "lp", "kcore", "scc", "triangles", "ingest", "neardup", "dedup_keep"],
+        choices=["pagerank", "cc", "cc_star", "lp", "kcore", "scc", "anf", "triangles", "ingest", "neardup", "dedup_keep"],
     )
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))

@@ -108,6 +108,133 @@ def harmonic_centrality(
     )
 
 
+def sp_counts(
+    graph: Graph,
+    seeds: Iterable[int] | DataFrame,
+    direction: str = "out",
+    max_depth: int | None = None,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Per-seed BFS distance AND exact shortest-path count:
+    ``(seed, id, dist, sigma)`` — the forward half of Brandes'
+    betweenness (Brandes, "A faster algorithm for betweenness
+    centrality", J. Math. Sociol. 2001). σ is the EXACT int64 number
+    of distinct shortest paths (level-synchronous: every shortest
+    path to a level-d+1 vertex extends a level-d frontier vertex, so
+    one sum-aggregate per round accumulates it; parallel edges
+    collapse — path counts are over the simple pair set, matching the
+    traversal surface). int64 overflows only past ~9e18 paths; grids
+    get there, link graphs don't (documented, not guarded)."""
+    spark = graph.spark
+    edges = _edges_for(graph, direction)
+    edges.persist()
+    try:
+        frontier = _ids_df(spark, seeds).select(
+            F.col("id").alias("seed"), "id", F.lit(0).alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        visited = frontier = truncated_checkpoint(frontier)
+        frontier_n = frontier.count()
+        dist = 0
+        while frontier_n > 0 and (max_depth is None or dist < max_depth):
+            dist += 1
+            f_hint = F.broadcast(frontier) if frontier_n <= BROADCAST_FRONTIER_MAX else frontier
+            nxt = (
+                edges.join(f_hint, edges["u"] == frontier["id"])
+                .groupBy("seed", F.col("v").alias("id"))
+                .agg(F.sum("sigma").cast("long").alias("sigma"))
+                .join(visited.select("seed", "id"), ["seed", "id"], "left_anti")
+                .select("seed", "id", F.lit(dist).alias("dist"), "sigma")
+            )
+            nxt = truncated_checkpoint(nxt)
+            frontier_n = nxt.count()
+            if frontier_n:
+                visited = visited.unionByName(nxt)
+                if dist % checkpoint_every == 0:
+                    visited = truncated_checkpoint(visited)
+            frontier = nxt
+        return visited
+    finally:
+        edges.unpersist()
+
+
+def betweenness(
+    graph: Graph,
+    seeds: Iterable[int] | DataFrame,
+    direction: str = "out",
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Sampled betweenness centrality (Brandes' dependency
+    accumulation over K source samples — the standard estimator for
+    graphs where exact O(V·E) Brandes is unrunnable): ``(id,
+    delta_sum)`` with delta_sum = Σ_seeds δ_seed(id) over id ≠ seed.
+    The unbiased estimate of bc(v) is (n/K)·delta_sum.
+
+    Backward pass: one round per BFS level, descending — the
+    shortest-path DAG is materialized ONCE (edges ⋈ dist ⋈ dist,
+    dv = du+1), each round is a filter on that persisted frame + one
+    join against the δ rows written by the PREVIOUS round + one
+    aggregate. Every (seed, u) receives its δ in exactly one round
+    (the one processing level d(u)+1), so accumulation is a blind
+    union — no read-modify-write state join. δ is float64 (ratios of
+    σ); the exact-integer forward half is what the DuckDB twin
+    value-checks (queries.py ``spcount_parts``), the float half is
+    pinned against brute Brandes in pytest."""
+    sp = truncated_checkpoint(sp_counts(graph, seeds, direction=direction, max_depth=max_depth))
+    e = _edges_for(graph, direction).select(
+        F.col("u").alias("eu"), F.col("v").alias("ev")
+    )
+    dag = (
+        e.join(
+            sp.select("seed", F.col("id").alias("eu"), F.col("dist").alias("du"),
+                      F.col("sigma").alias("sigu")),
+            "eu",
+        )
+        .join(
+            sp.select("seed", F.col("id").alias("ev"), F.col("dist").alias("dv"),
+                      F.col("sigma").alias("sigv")),
+            ["seed", "ev"],
+        )
+        .where(F.col("dv") == F.col("du") + 1)
+        .select("seed", F.col("eu").alias("u"), F.col("ev").alias("w"), "dv", "sigu", "sigv")
+        .persist()
+    )
+    dag.count()
+    try:
+        maxd = sp.agg(F.max("dist")).first()[0] or 0
+        spark = graph.spark
+        schema = "seed long, id long, delta double"
+        delta = spark.createDataFrame([], schema)
+        lvl_delta = spark.createDataFrame([], schema)  # δ rows of level t
+        for t in range(maxd, 0, -1):
+            contrib = (
+                dag.where(F.col("dv") == t)
+                .join(
+                    lvl_delta.select("seed", F.col("id").alias("w"), F.col("delta").alias("dw")),
+                    ["seed", "w"],
+                    "left",
+                )
+                .groupBy("seed", F.col("u").alias("id"))
+                .agg(
+                    F.sum(
+                        (F.col("sigu").cast("double") / F.col("sigv"))
+                        * (F.lit(1.0) + F.coalesce(F.col("dw"), F.lit(0.0)))
+                    ).alias("delta")
+                )
+            )
+            lvl_delta = truncated_checkpoint(contrib)
+            delta = delta.unionByName(lvl_delta)
+            if (maxd - t) % 8 == 7:
+                delta = truncated_checkpoint(delta)
+        return (
+            delta.where(F.col("id") != F.col("seed"))
+            .groupBy("id")
+            .agg(F.sum("delta").alias("delta_sum"))
+        )
+    finally:
+        dag.unpersist()
+
+
 def eccentricity(
     graph: Graph,
     seeds: Iterable[int] | DataFrame,

@@ -306,6 +306,51 @@ def q_ecc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eccentricity(g, seeds, max_depth=ECC_CAP).orderBy("seed")
 
 
+SP_CAP, SP_SEEDS = 24, 4  # σ/δ depth cap + seed count shared with the twins
+
+
+def q_spcount_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes' forward half on the undirected bowtie from the 4
+    smallest vertex ids: per (seed, vertex) the BFS distance and the
+    EXACT int64 count of distinct shortest paths — integer state, so
+    the unrolled level-synchronous DuckDB twin is bit-comparable.
+    Both engines cap at SP_CAP (measured max dist 19 at sf0.01), and
+    because truncation at the same depth leaves all ≤-cap rows
+    untouched, parity is depth-robust by construction. Round 5."""
+    from quiver_spark.algorithms.centrality import sp_counts
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(_scc_parts_edges(spark, sf_dir))
+    seeds = [r.id for r in g.vertices.orderBy("id").limit(SP_SEEDS).collect()]
+    return (
+        sp_counts(g, seeds, direction="both", max_depth=SP_CAP)
+        .select("seed", "id", F.col("dist").cast("long").alias("dist"), "sigma")
+        .orderBy("seed", "id")
+    )
+
+
+def q_betweenness_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled betweenness (Brandes dependency accumulation over the
+    same 4 seeds): per vertex the e6-rounded δ sum. The float half —
+    the exact-integer σ table is value-checked by spcount_parts, the
+    accumulation itself is pinned against brute Brandes in pytest,
+    and this row checks the distributed backward pass against the
+    unrolled per-level DuckDB twin at 1e-6 granularity. Round 5."""
+    from quiver_spark.algorithms.centrality import betweenness
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(_scc_parts_edges(spark, sf_dir))
+    seeds = [r.id for r in g.vertices.orderBy("id").limit(SP_SEEDS).collect()]
+    return (
+        betweenness(g, seeds, direction="both", max_depth=SP_CAP)
+        .select(
+            "id",
+            F.floor(F.col("delta_sum") * 1e6 + F.lit(0.5)).cast("long").alias("delta_e6"),
+        )
+        .orderBy("id")
+    )
+
+
 ANF_ROUNDS, ANF_K, ANF_BITS = 3, 8, 20  # fixed rounds → bit-exact twin
 
 
@@ -1378,6 +1423,92 @@ SELECT * FROM (
 """
 
 
+def _brandes_ctes() -> str:
+    """Shared CTE text for the Brandes twins: bowtie + 4 seeds +
+    recursive capped BFS distances (d), then SP_CAP unrolled
+    level-synchronous σ CTEs (sg{t}: paths reaching first-discovery
+    level-t vertices; the d join is the SQL spelling of the engine's
+    visited anti-join) and their union ``sig``. All integer."""
+    parts = [
+        _BOWTIE_UNDIR_CTES.format(mod=SCC_ORDER_MOD).strip(),
+        f"seeds AS (SELECT id FROM ids ORDER BY id LIMIT {SP_SEEDS})",
+        f"""walk(seed, id, dist) AS (
+  SELECT id, id, 0 FROM seeds
+  UNION
+  SELECT w.seed, eb.dst, w.dist + 1
+  FROM walk w JOIN eb ON eb.src = w.id
+  WHERE w.dist < {SP_CAP}
+)""",
+        # MATERIALIZED: each sg{t} is referenced twice (the next level
+        # + the sig union) — DuckDB's default CTE inlining would
+        # expand the chain 2^SP_CAP times (measured: >300 s; with
+        # materialization the twin runs in seconds)
+        "d AS MATERIALIZED (SELECT seed, id, MIN(dist) AS dist FROM walk GROUP BY seed, id)",
+        "sg0 AS MATERIALIZED (SELECT id AS seed, id, CAST(1 AS BIGINT) AS sigma FROM seeds)",
+    ]
+    for t in range(1, SP_CAP + 1):
+        parts.append(
+            f"""sg{t} AS MATERIALIZED (
+  SELECT w.seed, eb.dst AS id, CAST(SUM(w.sigma) AS BIGINT) AS sigma
+  FROM sg{t - 1} w JOIN eb ON eb.src = w.id
+  JOIN d ON d.seed = w.seed AND d.id = eb.dst AND d.dist = {t}
+  GROUP BY w.seed, eb.dst
+)"""
+        )
+    sig_union = "\n  UNION ALL ".join(
+        f"SELECT seed, id, CAST({t} AS BIGINT) AS dist, sigma FROM sg{t}"
+        for t in range(SP_CAP + 1)
+    )
+    parts.append(f"sig AS MATERIALIZED (\n  {sig_union}\n)")
+    return ",\n".join(parts)
+
+
+def _spcount_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_brandes_ctes()}
+SELECT seed, id, dist, sigma FROM sig ORDER BY seed, id
+"""
+
+
+def _betweenness_oracle_sql() -> str:
+    """Backward unroll: dl{{t}} = δ of level-t vertices, computed from
+    the shortest-path DAG rows into level t+1 and the previous level's
+    δ — the same one-aggregate-per-level shape the engine runs."""
+    parts = [
+        _brandes_ctes(),
+        """dag AS MATERIALIZED (
+  SELECT su.seed, eb.src AS u, eb.dst AS w, sv.dist AS dv, su.sigma AS sigu, sv.sigma AS sigv
+  FROM eb
+  JOIN sig su ON su.id = eb.src
+  JOIN sig sv ON sv.seed = su.seed AND sv.id = eb.dst AND sv.dist = su.dist + 1
+)""",
+        f"dl{SP_CAP} AS (SELECT CAST(0 AS BIGINT) AS seed, CAST(0 AS BIGINT) AS id,"
+        f" CAST(0.0 AS DOUBLE) AS delta WHERE 1 = 0)",
+    ]
+    for t in range(SP_CAP - 1, -1, -1):
+        parts.append(
+            f"""dl{t} AS MATERIALIZED (
+  SELECT g.seed, g.u AS id,
+         SUM(CAST(g.sigu AS DOUBLE) / g.sigv * (1 + COALESCE(n.delta, 0.0))) AS delta
+  FROM dag g LEFT JOIN dl{t + 1} n ON n.seed = g.seed AND n.id = g.w
+  WHERE g.dv = {t + 1}
+  GROUP BY g.seed, g.u
+)"""
+        )
+    dl_union = "\n    UNION ALL ".join(
+        f"SELECT * FROM dl{t}" for t in range(SP_CAP + 1)
+    )
+    joined = ",\n".join(parts)
+    return f"""
+WITH RECURSIVE {joined}
+SELECT id, CAST(floor(SUM(delta) * 1000000.0 + 0.5) AS BIGINT) AS delta_e6
+FROM (
+    {dl_union}
+)
+WHERE id <> seed GROUP BY id ORDER BY id
+"""
+
+
 def _scc_condensation_oracle_sql() -> str:
     """Condensation twin: the scc_parts mutual-reach closure, then the
     quotient — component sizes + distinct cross-component edges."""
@@ -2288,6 +2419,10 @@ FROM ids LEFT JOIN cnt ON cnt.id = ids.id JOIN deg ON deg.id = ids.id
     # arithmetic end to end, no fp escape hatch
     "anf_parts": _anf_oracle_sql(),
     "anf_nf_parts": _anf_nf_oracle_sql(),
+    # Brandes twins: exact-integer σ levels (bit-comparable), then the
+    # unrolled backward δ accumulation at e6 rounding
+    "spcount_parts": _spcount_oracle_sql(),
+    "betweenness_parts": _betweenness_oracle_sql(),
     "scc_condensation_parts": _scc_condensation_oracle_sql(),
     # assortativity: exact integer moments — no fp anywhere, plain agg
     "assortativity_parts": f"""
@@ -2498,6 +2633,9 @@ QUERIES = {
     # ANF: FM-bitmask neighborhood function + per-vertex masks
     "anf_parts": q_anf_parts,
     "anf_nf_parts": q_anf_nf_parts,
+    # sampled Brandes: exact σ forward half + e6-rounded δ backward half
+    "spcount_parts": q_spcount_parts,
+    "betweenness_parts": q_betweenness_parts,
 }
 
 # The driver records CORRECTNESS rows for exactly these 50 names, in
