@@ -108,6 +108,31 @@ def harmonic_centrality(
     )
 
 
+def closeness_centrality(
+    graph: Graph,
+    seeds: Iterable[int] | DataFrame,
+    direction: str = "both",
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Landmark closeness-centrality terms per vertex: ``(id, reach,
+    dsum)`` where reach counts seeds at dist ≥ 1 and ``dsum = Σ dist``
+    — exact integers (closeness is a ratio of counts and distance
+    sums, so unlike harmonic no scaling constant is needed). The
+    Wasserman–Faust estimate ĉ_C(v) = reach² / ((n−1)·dsum) is the
+    caller's one division; vertices no seed reaches are absent (their
+    estimate is 0). Same landmark premise/cost as harmonic_centrality
+    (Eppstein & Wang, SODA 2001): K·V state, one BFS round per level."""
+    d = landmark_distances(graph, seeds, direction=direction, max_depth=max_depth)
+    return (
+        d.where(F.col("dist") >= 1)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("reach"),
+            F.sum("dist").cast("long").alias("dsum"),
+        )
+    )
+
+
 def sp_counts(
     graph: Graph,
     seeds: Iterable[int] | DataFrame,

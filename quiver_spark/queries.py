@@ -295,6 +295,19 @@ def q_harmonic_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(g, seeds, max_depth=ECC_CAP).orderBy("id")
 
 
+def q_closeness_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark closeness-centrality terms on the undirected bowtie
+    graph from the same 8 landmark seeds: per vertex, the seed count
+    and the exact integer distance sum Σ dist — pure integer
+    aggregation (closeness is a ratio of counts/sums, no scale
+    constant), so the DuckDB twin shares the harmonic twin's
+    recursive-BFS CTEs with a SUM(dist) head. Round 5."""
+    from quiver_spark.algorithms.centrality import closeness_centrality
+
+    g, seeds = _bowtie_landmarks(spark, sf_dir)
+    return closeness_centrality(g, seeds, max_depth=ECC_CAP).orderBy("id")
+
+
 def q_ecc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-seed eccentricity + reachable-set size from the same 8
     landmarks (max row = the standard landmark lower bound on the
@@ -2495,6 +2508,14 @@ WITH RECURSIVE {_LANDMARK_CTES.format(mod=SCC_ORDER_MOD, cap=ECC_CAP).strip()}
 SELECT seed, CAST(MAX(dist) AS BIGINT) AS ecc, CAST(count(*) AS BIGINT) AS reached
 FROM d GROUP BY seed ORDER BY seed
 """,
+    "closeness_parts": f"""
+WITH RECURSIVE {_LANDMARK_CTES.format(mod=SCC_ORDER_MOD, cap=ECC_CAP).strip()}
+SELECT id,
+       CAST(count(*) AS BIGINT) AS reach,
+       CAST(SUM(dist) AS BIGINT) AS dsum
+FROM d WHERE dist >= 1
+GROUP BY id ORDER BY id
+""",
     # SCC twin: recursive mutual-reachability closure — a different
     # algorithm family from both the engine's FW-BW coloring and the
     # pytest Tarjan check. Closure size is bounded by the bowtie
@@ -2627,9 +2648,10 @@ QUERIES = {
     "assortativity_parts": q_assortativity_parts,
     # link prediction: common neighbors + exact-integer RA index
     "linkpred_parts": q_linkpred_parts,
-    # landmark harmonic centrality + eccentricity (per-seed BFS)
+    # landmark harmonic/closeness centrality + eccentricity (per-seed BFS)
     "harmonic_parts": q_harmonic_parts,
     "ecc_parts": q_ecc_parts,
+    "closeness_parts": q_closeness_parts,
     # ANF: FM-bitmask neighborhood function + per-vertex masks
     "anf_parts": q_anf_parts,
     "anf_nf_parts": q_anf_nf_parts,

@@ -12,6 +12,7 @@ import pytest
 from quiver_spark.algorithms.centrality import (
     H_SCALE,
     betweenness,
+    closeness_centrality,
     eccentricity,
     harmonic_centrality,
     landmark_distances,
@@ -93,6 +94,20 @@ def test_harmonic_and_ecc_aggregate_brute(spark):
         e_ref[s] = (max(ecc, dv), n + 1)
     got_e = {r.seed: (r.ecc, r.reached) for r in eccentricity(g, seeds).collect()}
     assert got_e == e_ref
+
+
+def test_closeness_aggregate_brute(spark):
+    edges = _rand_edges(13)
+    g = _mk(spark, edges)
+    seeds = [0, 3, 5, 8]
+    ref = brute_bfs(edges, seeds, directed=False)
+    c_ref: dict[int, tuple[int, int]] = {}
+    for (s, v), dv in ref.items():
+        if dv >= 1:
+            r, ds = c_ref.get(v, (0, 0))
+            c_ref[v] = (r + 1, ds + dv)
+    got = {r.id: (r.reach, r.dsum) for r in closeness_centrality(g, seeds).collect()}
+    assert got == c_ref
 
 
 def brute_brandes(edges, seeds, directed: bool):
