@@ -239,6 +239,25 @@ def q_scc_condensation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_modularity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity moments of the bowtie graph's simple
+    undirected view under its OWN SCC partition — a two-operator
+    composition (scc → modularity_moments), all exact integers
+    (n_nodes, internal edge count, degree total per community); Q is
+    the caller's two divisions. The DuckDB twin re-derives the SCC
+    assignment via the recursive mutual-reachability closure and
+    aggregates the same moments. Round 5."""
+    from quiver_spark.algorithms.community import modularity_moments
+    from quiver_spark.algorithms.scc import strongly_connected_components
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(_scc_parts_edges(spark, sf_dir))
+    asg = strongly_connected_components(g).state.select(
+        "id", F.col("scc").alias("comm")
+    )
+    return modularity_moments(g, asg).orderBy("comm")
+
+
 def q_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-assortativity moments of the undirected bowtie graph —
     the EXACT integer sums (n, Σx, Σxy, Σx²) over the 2|E| directed
@@ -2526,6 +2545,31 @@ GROUP BY id ORDER BY id
 WITH RECURSIVE {_BOWTIE_SCC_CTES.format(mod=SCC_ORDER_MOD).strip()}
 SELECT id, scc FROM scc ORDER BY id
 """,
+    # modularity moments under the SCC partition: exact integers only
+    # (internal edge count + degree totals per community); dedup in
+    # the added CTEs spelled DISTINCT-over-UNION-ALL per the DuckDB
+    # 1.0 WITH RECURSIVE quirk (NOTES_r5.md)
+    "modularity_parts": f"""
+WITH RECURSIVE {_BOWTIE_SCC_CTES.format(mod=SCC_ORDER_MOD).strip()},
+ec AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e
+),
+ebb AS (SELECT a AS id FROM ec UNION ALL SELECT b AS id FROM ec),
+deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM ebb GROUP BY id),
+mem AS (
+  SELECT scc.scc AS comm, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(COALESCE(deg.d, 0)) AS BIGINT) AS dtot
+  FROM scc LEFT JOIN deg ON deg.id = scc.id GROUP BY scc.scc
+),
+intr AS (
+  SELECT sa.scc AS comm, CAST(count(*) AS BIGINT) AS internal
+  FROM ec JOIN scc sa ON sa.id = ec.a JOIN scc sb ON sb.id = ec.b
+  WHERE sa.scc = sb.scc GROUP BY sa.scc
+)
+SELECT mem.comm, mem.n_nodes,
+       CAST(COALESCE(intr.internal, 0) AS BIGINT) AS internal, mem.dtot
+FROM mem LEFT JOIN intr ON intr.comm = mem.comm ORDER BY mem.comm
+""",
 }
 
 # Dict ORDER is a contract: the driver's correctness gate records only
@@ -2646,6 +2690,8 @@ QUERIES = {
     "scc_condensation_parts": q_scc_condensation_parts,
     # degree-assortativity integer moments (bit-exact, no fp)
     "assortativity_parts": q_assortativity_parts,
+    # modularity moments under the SCC partition (scc ∘ moments, exact)
+    "modularity_parts": q_modularity_parts,
     # link prediction: common neighbors + exact-integer RA index
     "linkpred_parts": q_linkpred_parts,
     # landmark harmonic/closeness centrality + eccentricity (per-seed BFS)
