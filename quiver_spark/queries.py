@@ -218,6 +218,35 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", "core").orderBy("id")
 
 
+MIS_ITERS = 5  # fixpoint measured at 3 rounds on the sf0.01 bowtie; +2 margin
+COLORING_ITERS = 10  # fixpoint (= colors) measured at 7; +3 margin
+
+
+def q_mis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set on the undirected bowtie graph —
+    fixed MIS_ITERS rounds past the measured fixpoint (3 at sf0.01),
+    so the output is a true MIS AND bit-comparable against the
+    unrolled DuckDB twin (integer priorities from shared literals,
+    lexicographic (p, id) minima on both sides). Round 5."""
+    from quiver_spark.algorithms.mis import maximal_independent_set
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(_scc_parts_edges(spark, sf_dir))
+    return maximal_independent_set(g, num_iters=MIS_ITERS).orderBy("id")
+
+
+def q_coloring_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated-MIS greedy coloring of the same bowtie — fixed
+    COLORING_ITERS rounds past the measured fixpoint (7 colors at
+    sf0.01); proper coloring law-tested in pytest, exact parity vs the
+    unrolled twin here. Round 5."""
+    from quiver_spark.algorithms.mis import greedy_coloring
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(_scc_parts_edges(spark, sf_dir))
+    return greedy_coloring(g, num_iters=COLORING_ITERS).orderBy("id")
+
+
 def q_scc_condensation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Condensation DAG of the part bowtie graph: one row per
     cross-component edge, carrying both endpoint components' sizes —
@@ -1598,6 +1627,89 @@ c0 AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS core FROM eb GROUP BY dst)"
     return "\n".join(parts)
 
 
+def _luby_rounds_ctes(iters: int, mode: str) -> str:
+    """Unrolled Luby rounds over the undirected part bowtie — same
+    algebra as algorithms/mis.py (per-round M31 affine priorities from
+    the SHARED fm_params literals; lexicographic (p, id) local minima;
+    mis mode also knocks out selected neighbors). DuckDB's row-value
+    MIN/compare is lexicographic like Spark's struct ordering."""
+    from quiver_spark.algorithms.anf import fm_params
+    from quiver_spark.algorithms.mis import MIS_SEED, priority_expr
+
+    params = fm_params(iters, MIS_SEED)
+    parts = [
+        f"""WITH li AS (
+  SELECT l_orderkey AS o, l_linenumber AS n, CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem WHERE l_orderkey % {SCC_ORDER_MOD} = 0
+),
+e0 AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM li a JOIN li b ON a.o = b.o AND b.n = a.n + 1
+  WHERE a.p <> b.p
+),
+ec AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),
+eb AS MATERIALIZED (SELECT a AS src, b AS dst FROM ec UNION ALL SELECT b, a FROM ec),
+ids AS (SELECT DISTINCT src AS id FROM eb),
+und0 AS (SELECT id FROM ids)"""
+    ]
+    for t in range(iters):
+        a, b = params[t]
+        knock = (
+            f""",
+rem{t} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS id
+  FROM eb e JOIN sel{t} s ON s.id = e.src JOIN und{t} u ON u.id = e.dst
+  WHERE e.dst NOT IN (SELECT id FROM sel{t})
+),
+dec{t} AS MATERIALIZED (
+  SELECT id, CAST({t} AS BIGINT) AS round, true AS selected FROM sel{t}
+  UNION ALL
+  SELECT id, CAST({t} AS BIGINT), false FROM rem{t}
+)"""
+            if mode == "mis"
+            else f""",
+dec{t} AS MATERIALIZED (SELECT id, CAST({t} AS BIGINT) AS round, true AS selected FROM sel{t})"""
+        )
+        parts.append(
+            f""", pr{t} AS MATERIALIZED (
+  SELECT id, {priority_expr(a, b, 'id')} AS p FROM und{t}
+),
+nm{t} AS MATERIALIZED (
+  SELECT e.src AS id, MIN((p.p, p.id)) AS m
+  FROM eb e JOIN und{t} us ON us.id = e.src JOIN pr{t} p ON p.id = e.dst
+  GROUP BY e.src
+),
+sel{t} AS MATERIALIZED (
+  SELECT pr.id FROM pr{t} pr LEFT JOIN nm{t} nm ON nm.id = pr.id
+  WHERE nm.id IS NULL OR (pr.p, pr.id) < nm.m
+){knock},
+und{t + 1} AS MATERIALIZED (
+  SELECT u.id FROM und{t} u WHERE u.id NOT IN (SELECT id FROM dec{t})
+)"""
+        )
+    alldec = " UNION ALL ".join(f"SELECT * FROM dec{t}" for t in range(iters))
+    parts.append(f", alldec AS ({alldec})")
+    return "".join(parts)
+
+
+def _mis_oracle_sql(iters: int) -> str:
+    return f"""{_luby_rounds_ctes(iters, 'mis')}
+SELECT ids.id,
+       COALESCE(d.selected, false) AS in_mis,
+       CAST(COALESCE(d.round, -1) AS BIGINT) AS round
+FROM ids LEFT JOIN alldec d ON d.id = ids.id
+ORDER BY ids.id
+"""
+
+
+def _coloring_oracle_sql(iters: int) -> str:
+    return f"""{_luby_rounds_ctes(iters, 'color')}
+SELECT ids.id, CAST(COALESCE(d.round, -1) AS BIGINT) AS color
+FROM ids LEFT JOIN alldec d ON d.id = ids.id
+ORDER BY ids.id
+"""
+
+
 def _ppr_oracle_sql(seed_id: int = PPR_SEED, iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
     """Unrolled personalized PageRank over the hierarchy graph — same
     algebra as pagerank(reset=...): init = the normalized reset
@@ -2446,6 +2558,11 @@ FROM ids LEFT JOIN cnt ON cnt.id = ids.id JOIN deg ON deg.id = ids.id
     "hits_hierarchy": _hits_oracle_sql(),
     "ppr_region0": _ppr_oracle_sql(),
     "kcore_parts": _kcore_oracle_sql(),
+    # Luby MIS + iterated-MIS coloring: unrolled priority rounds over
+    # the SAME fm_params literals; row-value vs struct ordering are
+    # both lexicographic, integer state → exact fixed-round parity
+    "mis_parts": _mis_oracle_sql(MIS_ITERS),
+    "coloring_parts": _coloring_oracle_sql(COLORING_ITERS),
     # ANF twins: unrolled bit_or rounds over the SAME generated hash /
     # init / lsz CASE-ladder text the engine runs — int64 bit
     # arithmetic end to end, no fp escape hatch
@@ -2686,6 +2803,9 @@ QUERIES = {
     "ppr_region0": q_ppr_region0,
     # coreness via h-index propagation (unrolled window-fn twin, exact)
     "kcore_parts": q_kcore_parts,
+    # Luby MIS + iterated-MIS greedy coloring (unrolled twins, exact)
+    "mis_parts": q_mis_parts,
+    "coloring_parts": q_coloring_parts,
     # condensation DAG of the bowtie graph (scc quotient, exact twin)
     "scc_condensation_parts": q_scc_condensation_parts,
     # degree-assortativity integer moments (bit-exact, no fp)
