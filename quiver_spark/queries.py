@@ -458,6 +458,30 @@ def q_linkpred_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(g).orderBy("a", "b")
 
 
+WALKS_PER_VERTEX, WALK_LEN = 2, 8  # corpus shape shared with the twin
+
+
+def q_walks_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus on the undirected bowtie:
+    2 walks × 8 steps from every vertex, neighbor choice = the shared
+    M31 affine hash of (start, walk-index, step, vertex) over the
+    rank-by-ascending-id adjacency. Exact integers end to end; the
+    DuckDB twin is a recursive CTE running the identical arithmetic.
+    Round 5 (the DeepWalk/node2vec corpus stage of a training-data
+    pipeline)."""
+    from quiver_spark.algorithms.walks import random_walks
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(_scc_parts_edges(spark, sf_dir))
+    return (
+        random_walks(
+            g, walks_per_vertex=WALKS_PER_VERTEX, length=WALK_LEN, direction="both"
+        )
+        .select("start", F.col("widx").cast("long").alias("widx"), "step", "id")
+        .orderBy("start", "widx", "step")
+    )
+
+
 PPR_SEED = 1_000_000  # region 0's vertex id in the hierarchy graph
 
 
@@ -1692,6 +1716,39 @@ und{t + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _walks_oracle_sql(wpv: int, length: int) -> str:
+    """Recursive-CTE twin of the deterministic walk corpus: the SAME
+    pick_expr text (BIGINT-cast M31 affine hash) over the same
+    rank-by-ascending-id adjacency; UNION ALL recursion bounded by the
+    step cap, so termination is structural."""
+    from quiver_spark.algorithms.walks import WALK_SEED, pick_expr, walk_params
+
+    a, b = walk_params(WALK_SEED)
+    h = pick_expr(a, b, "w.start", "w.widx", "w.step", "w.v")
+    return f"""
+WITH RECURSIVE {_BOWTIE_UNDIR_CTES.format(mod=SCC_ORDER_MOD).strip()},
+adjr AS MATERIALIZED (
+  SELECT src AS u, dst AS v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rnk
+  FROM eb
+),
+degt AS MATERIALIZED (SELECT src AS u, CAST(count(*) AS BIGINT) AS deg FROM eb GROUP BY src),
+walk(start, widx, step, v) AS (
+  SELECT id, CAST(widx AS BIGINT), CAST(0 AS BIGINT), id
+  FROM ids, UNNEST(range(0, {wpv})) wr(widx)
+  UNION ALL
+  SELECT w.start, w.widx, w.step + 1, a.v
+  FROM walk w
+  JOIN degt d ON d.u = w.v
+  JOIN adjr a ON a.u = w.v
+   AND a.rnk = ((({h}) % d.deg) + d.deg) % d.deg + 1
+  WHERE w.step < {length}
+)
+SELECT start, widx, step, v AS id FROM walk
+ORDER BY start, widx, step
+"""
+
+
 def _mis_oracle_sql(iters: int) -> str:
     return f"""{_luby_rounds_ctes(iters, 'mis')}
 SELECT ids.id,
@@ -2563,6 +2620,8 @@ FROM ids LEFT JOIN cnt ON cnt.id = ids.id JOIN deg ON deg.id = ids.id
     # both lexicographic, integer state → exact fixed-round parity
     "mis_parts": _mis_oracle_sql(MIS_ITERS),
     "coloring_parts": _coloring_oracle_sql(COLORING_ITERS),
+    # deterministic walk corpus: recursive-CTE twin, identical hash text
+    "walks_parts": _walks_oracle_sql(WALKS_PER_VERTEX, WALK_LEN),
     # ANF twins: unrolled bit_or rounds over the SAME generated hash /
     # init / lsz CASE-ladder text the engine runs — int64 bit
     # arithmetic end to end, no fp escape hatch
@@ -2806,6 +2865,8 @@ QUERIES = {
     # Luby MIS + iterated-MIS greedy coloring (unrolled twins, exact)
     "mis_parts": q_mis_parts,
     "coloring_parts": q_coloring_parts,
+    # deterministic random-walk corpus (recursive-CTE twin, exact)
+    "walks_parts": q_walks_parts,
     # condensation DAG of the bowtie graph (scc quotient, exact twin)
     "scc_condensation_parts": q_scc_condensation_parts,
     # degree-assortativity integer moments (bit-exact, no fp)
