@@ -458,6 +458,45 @@ def q_linkpred_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(g).orderBy("a", "b")
 
 
+# k-truss oracle surface: the part co-order graph (all part pairs
+# sharing an order, 1-in-2 orders) — per-order cliques of ≤7 overlap
+# into real truss structure, unlike the triangle-poor bowtie (1
+# triangle) or the complete copart K100 (measured). k=4 peels for 6
+# rounds at sf0.01; ITERS=8 is past that fixpoint.
+KTRUSS_K, KTRUSS_ITERS, KTRUSS_ORDER_MOD = 4, 8, 2
+
+
+def _coorder_parts_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_orderkey") % KTRUSS_ORDER_MOD == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p"))
+        .dropDuplicates()
+    )
+    b = li.withColumnRenamed("p", "q")
+    return (
+        li.join(b, "o")
+        .where(F.col("p") < F.col("q"))
+        .select(F.col("p").alias("src"), F.col("q").alias("dst"))
+        .dropDuplicates()
+    )
+
+
+def q_ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (k=4) of the part co-order graph — fixed KTRUSS_ITERS
+    peel rounds past the measured fixpoint (6 at sf0.01), surviving
+    edges with their within-truss triangle support. The Spark side
+    counts support via the degree-ORIENTED wedge join; the DuckDB
+    twin recounts per round via the UNORIENTED common-neighbor join —
+    the same integer from a different enumeration, so parity is
+    cross-family evidence. Round 5."""
+    from quiver_spark.algorithms.ktruss import ktruss
+    from quiver_spark.graph import Graph
+
+    g = Graph.from_edges(_coorder_parts_edges(spark, sf_dir))
+    return ktruss(g, KTRUSS_K, num_iters=KTRUSS_ITERS).orderBy("a", "b")
+
+
 WALKS_PER_VERTEX, WALK_LEN = 2, 8  # corpus shape shared with the twin
 
 
@@ -1716,6 +1755,51 @@ und{t + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _ktruss_oracle_sql(k: int, iters: int, mod: int) -> str:
+    """Unrolled k-truss peel over the part co-order graph. Support per
+    round = the UNORIENTED common-neighbor count restricted to
+    remaining edges (e ⋈ adj(a) ⋈ adj(b) on the shared neighbor) — a
+    different enumeration family from the engine's oriented wedge
+    join; every per-round CTE is MATERIALIZED (the Luby-twin lesson:
+    DuckDB re-inlines multiply-referenced CTEs exponentially)."""
+
+    def sup(t: int) -> str:
+        return f"""sup{t} AS MATERIALIZED (
+  SELECT e.a, e.b, CAST(COALESCE(c.c, 0) AS BIGINT) AS support
+  FROM rem{t} e LEFT JOIN (
+    SELECT e.a, e.b, count(*) AS c
+    FROM rem{t} e
+    JOIN ebr{t} x ON x.u = e.a
+    JOIN ebr{t} y ON y.u = e.b AND y.v = x.v
+    GROUP BY e.a, e.b
+  ) c ON c.a = e.a AND c.b = e.b
+)"""
+
+    parts = [
+        f"""WITH lio AS (
+  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem WHERE l_orderkey % {mod} = 0
+),
+rem0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS a, b.p AS b FROM lio a JOIN lio b ON a.o = b.o AND a.p < b.p
+)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""",
+ebr{t} AS MATERIALIZED (SELECT a AS u, b AS v FROM rem{t} UNION ALL SELECT b, a FROM rem{t}),
+{sup(t)},
+rem{t + 1} AS MATERIALIZED (SELECT a, b FROM sup{t} WHERE support >= {k - 2})"""
+        )
+    parts.append(
+        f""",
+ebr{iters} AS MATERIALIZED (SELECT a AS u, b AS v FROM rem{iters} UNION ALL SELECT b, a FROM rem{iters}),
+{sup(iters)}
+SELECT a, b, support FROM sup{iters} ORDER BY a, b"""
+    )
+    return "".join(parts)
+
+
 def _walks_oracle_sql(wpv: int, length: int) -> str:
     """Recursive-CTE twin of the deterministic walk corpus: the SAME
     pick_expr text (BIGINT-cast M31 affine hash) over the same
@@ -2622,6 +2706,8 @@ FROM ids LEFT JOIN cnt ON cnt.id = ids.id JOIN deg ON deg.id = ids.id
     "coloring_parts": _coloring_oracle_sql(COLORING_ITERS),
     # deterministic walk corpus: recursive-CTE twin, identical hash text
     "walks_parts": _walks_oracle_sql(WALKS_PER_VERTEX, WALK_LEN),
+    # k-truss peel: unoriented common-neighbor recount per round
+    "ktruss_parts": _ktruss_oracle_sql(KTRUSS_K, KTRUSS_ITERS, KTRUSS_ORDER_MOD),
     # ANF twins: unrolled bit_or rounds over the SAME generated hash /
     # init / lsz CASE-ladder text the engine runs — int64 bit
     # arithmetic end to end, no fp escape hatch
@@ -2867,6 +2953,8 @@ QUERIES = {
     "coloring_parts": q_coloring_parts,
     # deterministic random-walk corpus (recursive-CTE twin, exact)
     "walks_parts": q_walks_parts,
+    # k-truss of the part co-order graph (cross-family support twin)
+    "ktruss_parts": q_ktruss_parts,
     # condensation DAG of the bowtie graph (scc quotient, exact twin)
     "scc_condensation_parts": q_scc_condensation_parts,
     # degree-assortativity integer moments (bit-exact, no fp)
