@@ -100,8 +100,22 @@ def pagerank(
     runner: SuperstepRunner | None = None,
     init_ranks: DataFrame | None = None,
     reset: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> SuperstepResult:
     """Returns a SuperstepResult whose state is ``(id, rank)``.
+
+    ``weight_col`` — optional edge-column name turning this into
+    WEIGHTED PageRank: rank flows out of ``src`` proportionally to
+    the edge's weight instead of uniformly
+    (``w_e = weight_e / Σ weight(src)``); weights must be > 0 (one
+    validating aggregate, raises otherwise). Implemented on the
+    ``smj`` tier (``auto`` resolves there — the mirror/CSR extension
+    packs the normalized weight next to dst exactly like the uniform
+    1/outdeg, a known recipe not built until a profile demands it;
+    EXPLICIT other tiers raise). A constant-1.0 weight column is
+    bit-identical to the unweighted path (Σ over k edges of 1.0 is
+    exactly k in fp; law-tested). Composes with ``reset`` (weights
+    shape the walk, reset shapes the teleport) and ``init_ranks``.
 
     ``reset`` — optional ``(id, weight)`` frame turning this into
     PERSONALIZED PageRank: the teleport (and dangling) mass lands on
@@ -171,6 +185,19 @@ def pagerank(
             # while a power-law dst fans across reducer cells
             n_salts = "auto"
 
+    if weight_col is not None and strategy != "smj":
+        # same contract as reset: auto re-routes to the correct-at-
+        # any-size smj tier, an explicit other tier is an error
+        if not was_auto:
+            raise ValueError(
+                f"weight_col is not implemented for the {strategy!r} tier — "
+                "use strategy='smj'/'auto' (docstring: the mirror/CSR "
+                "extension is a known recipe)"
+            )
+        strategy = "smj"
+        if n_salts is None:
+            n_salts = "auto"
+
     if strategy == "local":
         # driver-local numpy tier (algorithms/local_tier.py): guarded
         # Arrow collect, no per-superstep distributed scheduling. auto
@@ -198,7 +225,20 @@ def pagerank(
         strategy = "smj"
         n_salts = n_salts if n_salts is not None else "auto"
 
-    out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("od"))
+    if weight_col is None:
+        out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("od")
+        )
+    else:
+        wmin = graph.edges.agg(F.min(F.col(weight_col).cast("double"))).first()[0]
+        if wmin is not None and wmin <= 0:
+            raise ValueError(
+                f"weight_col={weight_col!r} must be strictly positive "
+                f"(min {wmin}) — zero/negative outflow has no PageRank meaning"
+            )
+        out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(
+            F.sum(F.col(weight_col).cast("double")).alias("od")
+        )
     # vertex frame with the dangling flag baked in: (id, dang)
     ids = (
         graph.vertices.select("id")
@@ -212,12 +252,20 @@ def pagerank(
         ids.unpersist()
         return SuperstepResult(state=spark.createDataFrame([], "id long, rank double"), supersteps=0)
 
-    # reusable weighted edge frame: each edge instance carries 1/outdeg(src)
-    edges_w = (
-        graph.edges.select("src", "dst")
-        .join(out_deg.withColumnRenamed("id", "src"), "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("od")).alias("w"))
-    )
+    # reusable weighted edge frame: each edge instance carries its
+    # outflow share — uniform 1/outdeg(src), or weight/Σweight(src)
+    if weight_col is None:
+        edges_w = (
+            graph.edges.select("src", "dst")
+            .join(out_deg.withColumnRenamed("id", "src"), "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("od")).alias("w"))
+        )
+    else:
+        edges_w = (
+            graph.edges.select("src", "dst", F.col(weight_col).cast("double").alias("_ew"))
+            .join(out_deg.withColumnRenamed("id", "src"), "src")
+            .select("src", "dst", (F.col("_ew") / F.col("od")).alias("w"))
+        )
 
     sc = spark.sparkContext
     n_blocks = n_blocks or max(sc.defaultParallelism, 8)

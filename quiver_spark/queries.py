@@ -200,6 +200,25 @@ def q_pagerank_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank on the REVERSED hierarchy graph (parent→child,
+    out-degrees 5…O(customers)) with the deterministic (src+dst)%7+1
+    edge weights — rank flows proportionally to weight (w/Σw per
+    edge), fixed iterations; the DuckDB twin unrolls the same algebra
+    with the message written in the engine's fp op order. Reversal is
+    load-bearing: the UPRIGHT hierarchy is a child→parent forest where
+    every out-degree is 1, so w/Σw ≡ 1 and the weights would never be
+    exercised (smoke-checked: weighted ≡ unweighted there — the same
+    worthless-oracle trap as the ppr seed-at-sink lesson). The weight
+    formula is symmetric in (src, dst) so the reversed edge keeps its
+    value. Round 5."""
+    g = tg.weighted_hierarchy_edges(spark, sf_dir).reverse()
+    res = pagerank(g, damping=PR_DAMPING, num_iters=PR_ITERS, weight_col="weight")
+    return res.state.select(
+        "id", F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("long").alias("rank_e9")
+    )
+
+
 KCORE_ITERS = 10  # fixpoint measured at 8 rounds on the sf0.01 bowtie; +2 margin
 
 
@@ -1392,17 +1411,43 @@ def q_repo_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
 def _pagerank_oracle_sql(
-    iters: int = PR_ITERS, d: float = PR_DAMPING, rank_cols: tuple[str, ...] = ("rank_e9",)
+    iters: int = PR_ITERS,
+    d: float = PR_DAMPING,
+    rank_cols: tuple[str, ...] = ("rank_e9",),
+    weighted: bool = False,
 ) -> str:
     """Unrolled fixed-iteration PageRank over the hierarchy graph —
     same algebra as quiver_spark.algorithms.pagerank (uniform init,
     per-edge 1/outdeg weights, dangling mass redistributed uniformly).
     ``rank_cols``: output the final rank once per given alias (the
     strategy-parity query compares several physical plans against the
-    same mathematical ranks)."""
+    same mathematical ranks). ``weighted``: the deterministic
+    ``(src+dst)%7+1`` weights of tpch_graphs.weighted_hierarchy_edges,
+    message written ``rank * (w / Σw)`` to match the engine's fp op
+    order (normalized share precomputed per edge)."""
+    if weighted:
+        # REVERSED hierarchy edges (parent→child) — upright the forest
+        # has all out-degrees 1 and weights cancel; the weight formula
+        # is symmetric so the flipped edge keeps its value
+        edge_ctes = (
+            "ew AS MATERIALIZED (SELECT dst AS src, src AS dst,"
+            " CAST((src + dst) % 7 + 1 AS DOUBLE) AS w FROM e),\n"
+            "od AS MATERIALIZED (SELECT src, SUM(w) AS od FROM ew GROUP BY src),"
+        )
+        msg = """(SELECT ew.dst, SUM(p.rank * (ew.w / od.od)) AS s
+             FROM ew JOIN {p} p ON p.id = ew.src JOIN od ON od.src = ew.src
+             GROUP BY ew.dst)"""
+    else:
+        edge_ctes = (
+            "od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS od"
+            " FROM e GROUP BY src),"
+        )
+        msg = """(SELECT e.dst, SUM(p.rank / od.od) AS s
+             FROM e JOIN {p} p ON p.id = e.src JOIN od ON od.src = e.src
+             GROUP BY e.dst)"""
     parts = [
         f"WITH {_HIER_V.strip()}, {_HIER_E.strip()},",
-        "od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),",
+        edge_ctes,
         "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),",
         "r0 AS (SELECT v.id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM v CROSS JOIN nn)",
     ]
@@ -1418,9 +1463,7 @@ def _pagerank_oracle_sql(
   CROSS JOIN (SELECT COALESCE(SUM(p.rank), CAST(0 AS DOUBLE)) AS dm
               FROM {p} p LEFT JOIN od ON od.src = p.id
               WHERE od.src IS NULL) dang
-  LEFT JOIN (SELECT e.dst, SUM(p.rank / od.od) AS s
-             FROM e JOIN {p} p ON p.id = e.src JOIN od ON od.src = e.src
-             GROUP BY e.dst) m ON m.dst = v.id
+  LEFT JOIN {msg.format(p=p)} m ON m.dst = v.id
 )"""
         )
     cols = ", ".join(f"CAST(floor(rank * 1e9 + 0.5) AS BIGINT) AS {c}" for c in rank_cols)
@@ -2216,6 +2259,7 @@ SELECT ids.id, COALESCE(cnt.triangles, 0) AS triangles
 FROM ids LEFT JOIN cnt ON cnt.id = ids.id
 """,
     "pagerank_hierarchy": _pagerank_oracle_sql(),
+    "pagerank_weighted": _pagerank_oracle_sql(weighted=True),
     "pagerank_strategy_parity": _pagerank_oracle_sql(
         rank_cols=("rank_e9_csr", "rank_e9_bhj", "rank_e9_mirror")
     ),
@@ -2973,6 +3017,8 @@ QUERIES = {
     # sampled Brandes: exact σ forward half + e6-rounded δ backward half
     "spcount_parts": q_spcount_parts,
     "betweenness_parts": q_betweenness_parts,
+    # weighted PageRank (outflow ∝ edge weight; unrolled weighted twin)
+    "pagerank_weighted": q_pagerank_weighted,
 }
 
 # The driver records CORRECTNESS rows for exactly these 50 names, in

@@ -553,3 +553,70 @@ def test_pagerank_warm_start_degenerate_init_falls_back_to_uniform(spark, two_cl
     assert set(warm_ranks) == set(cold_ranks)  # no fan-out from duplicate ids
     for v, rank in cold_ranks.items():
         assert math.isclose(rank, warm_ranks[v], rel_tol=0, abs_tol=1e-8), v
+
+
+# ------------------------------------------------- Weighted PageRank
+def _wgraph(spark):
+    """0 → {1 (w=3), 2 (w=1)}: vertex 1 receives 3/4 of 0's outflow."""
+    V = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "id long, name string")
+    E = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0)], "src long, dst long, weight double"
+    )
+    from quiver_spark.graph import Graph
+
+    return Graph.mk_graph(V, E)
+
+
+def test_pagerank_weighted_closed_form_one_iter(spark):
+    """One superstep from uniform: vertex 1 gets d·(1/3)·(3/4),
+    vertex 2 gets d·(1/3)·(1/4), both plus base + dangling share
+    (1 and 2 are sinks holding 2/3 of the mass)."""
+    res = pagerank(_wgraph(spark), num_iters=1, weight_col="weight")
+    ranks = {r["id"]: r["rank"] for r in res.state.collect()}
+    d, n, dm = 0.85, 3, 2 / 3
+    base = (1 - d) / n + d * dm / n
+    assert math.isclose(ranks[1], base + d * (1 / 3) * (3 / 4), rel_tol=1e-12)
+    assert math.isclose(ranks[2], base + d * (1 / 3) * (1 / 4), rel_tol=1e-12)
+    assert math.isclose(ranks[0], base, rel_tol=1e-12)
+
+
+def test_pagerank_weighted_constant_weight_is_unweighted(two_cliques_bridge):
+    """Law: a constant-1.0 weight column is BIT-IDENTICAL to the
+    uniform path — Σ over k edges of 1.0 is exactly k in fp, so
+    w/Σw == 1/outdeg to the last ulp."""
+    g = two_cliques_bridge
+    from quiver_spark.graph import Graph
+
+    gw = Graph(g.vertices, g.edges.withColumn("weight", F.lit(1.0)))
+    uni = pagerank(g, num_iters=6)
+    wei = pagerank(gw, num_iters=6, weight_col="weight")
+    u = {r["id"]: r["rank"] for r in uni.state.collect()}
+    w = {r["id"]: r["rank"] for r in wei.state.collect()}
+    assert u == w  # bit-identical, not just close
+
+
+def test_pagerank_weighted_conservation_and_reset_compose(spark):
+    """Mass conservation holds under weights; composing with a reset
+    distribution keeps teleport+dangling mass on the reset support."""
+    g = _wgraph(spark)
+    res = pagerank(g, tol=1e-10, max_iters=100, weight_col="weight")
+    assert math.isclose(res.state.agg(F.sum("rank")).collect()[0][0], 1.0, rel_tol=1e-9)
+    seed = spark.createDataFrame([(0, 1.0)], "id long, weight double")
+    per = pagerank(g, tol=1e-10, max_iters=100, weight_col="weight", reset=seed)
+    assert math.isclose(per.state.agg(F.sum("rank")).collect()[0][0], 1.0, rel_tol=1e-9)
+    pranks = {r["id"]: r["rank"] for r in per.state.collect()}
+    assert pranks[1] > pranks[2] > 0  # walk mass still follows the 3:1 weights
+
+
+def test_pagerank_weighted_validation(spark):
+    """Non-positive weights raise; an explicit non-smj tier raises
+    (auto re-routes to smj instead)."""
+    V = spark.createDataFrame([(0, "a"), (1, "b")], "id long, name string")
+    E = spark.createDataFrame([(0, 1, 0.0)], "src long, dst long, weight double")
+    from quiver_spark.graph import Graph
+
+    bad = Graph.mk_graph(V, E)
+    with pytest.raises(ValueError, match="strictly positive"):
+        pagerank(bad, num_iters=1, weight_col="weight")
+    with pytest.raises(ValueError, match="not implemented for the 'csr'"):
+        pagerank(_wgraph(spark), num_iters=1, weight_col="weight", strategy="csr")
