@@ -1,0 +1,184 @@
+"""Minimum spanning forest via distributed Borůvka.
+
+Beyond the SURVEY §2 inventory; the MSF is the classic "what is the
+cheapest backbone of this link graph" operator (single-linkage
+clustering, network design, graph sparsification before expensive
+downstream analytics), and Borůvka is THE distributed formulation —
+every round each component selects its minimum outgoing edge and the
+components contract, so the component count at least halves per round
+and O(log n) rounds suffice regardless of weight distribution
+(Borůvka 1926; the MapReduce/Spark formulation in Lattanzi et al.,
+"Filtering: a method for solving graph problems in MapReduce", SPAA
+2011). quiver exposes the adjacency/fold surface this composes over
+[pub: Verizon/quiver core/src/main/scala/quiver/Graph.scala#fold].
+
+Determinism / uniqueness: all comparisons use the TOTAL order
+``(w, a, b)`` on canonical edges (a < b), so the selected forest is
+the unique minimum forest w.r.t. that order even under duplicate
+weights (the standard matroid tie-break). That exact order is what
+the DuckDB twin (queries.py ``msf_parts``) checks through an
+INDEPENDENT characterization — the cycle property: an edge belongs to
+the MSF iff its endpoints are NOT connected using only strictly
+smaller edges. Agreement of the contraction algorithm with the
+cut/cycle characterization is evidence, not tautology (pytest adds a
+third family: driver-side Kruskal with union-find).
+
+Round t on the remaining multi-component graph:
+
+    sel(c)   = min_(w,a,b) { edges with exactly one endpoint in c }
+    forest  += distinct selected edges (both endpoints may pick one)
+    contract: selected edges form pseudo-trees over components (each
+              component points at one neighbor; every piece has
+              exactly one mutual 2-cycle, the globally minimal edge of
+              the piece) — break the 2-cycle toward the smaller id,
+              then pointer-jump to the root in O(log n) inner hops.
+
+Plan shape & 100 TB notes:
+
+- Per round: one edges ⋈ comp join per endpoint (vertex-keyed, the
+  same shuffle shape as every iterative flagship), one ALGEBRAIC
+  min-aggregate over ``struct(w, a, b, partner)`` (map-side combine —
+  a hub component's millions of boundary edges reduce to one row per
+  upstream task before the shuffle), and a component-sized
+  pointer-jumping loop (the ptr table shrinks geometrically with the
+  component count; each hop is a self-join on component ids, not
+  vertex ids).
+- Cross-component edge count per round is the loop condition — a
+  driver scalar, like every runner convergence check.
+- Parallel edges collapse to their minimum-(w,a,b) representative
+  once, up front (only the lightest parallel edge can ever be in the
+  MSF); self-loops drop (never in a forest).
+- The forest accumulator is checkpoint-truncated every round so plan
+  statistics cannot compound across rounds (superstep.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quiver_spark.graph import Graph
+from quiver_spark.superstep import truncated_checkpoint
+
+# pointer-jumping is idempotent at its fixpoint, so a generous cap is
+# safe; 2^40 components is beyond any input
+_MAX_JUMPS = 40
+
+
+def _canonical_weighted(graph: Graph, weight_col: str) -> DataFrame:
+    """(a, b, w): canonical simple weighted edges — a < b, self-loops
+    dropped, parallel edges collapsed to the (w, a, b)-minimal one."""
+    e = graph.edges.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).where(F.col("a") != F.col("b"))
+    return e.groupBy("a", "b").agg(F.min("w").alias("w"))
+
+
+def minimum_spanning_forest(
+    graph: Graph,
+    weight_col: str = "weight",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Edges ``(a, b, w)`` of the unique minimum spanning forest of
+    the undirected view of ``graph`` under the total order
+    ``(w, a, b)``. ``weight_col`` must be an integral edge column
+    (exact arithmetic keeps the oracle fp-free; scale fixed-point
+    weights to integers at the caller). Raises on non-convergence at
+    ``max_iters`` (cannot happen below 2^30 vertices — components at
+    least halve per round — so a hit means a logic error, and the
+    contract matches kcore/scc/cheapestPath: no silent partial
+    forest)."""
+    spark = graph.spark
+    edges = _canonical_weighted(graph, weight_col).persist()
+    edges.count()
+    comp = truncated_checkpoint(graph.vertices.select("id", F.col("id").alias("comp")))
+    forest = spark.createDataFrame([], "a long, b long, w long")
+    try:
+        for _ in range(max_iters):
+            ec = (
+                edges.join(comp.select(F.col("id").alias("a"), F.col("comp").alias("ca")), "a")
+                .join(comp.select(F.col("id").alias("b"), F.col("comp").alias("cb")), "b")
+                .where(F.col("ca") != F.col("cb"))
+                .persist()
+            )
+            if ec.isEmpty():
+                ec.unpersist()
+                return forest.orderBy("w", "a", "b")
+            m = F.struct("w", "a", "b", F.col("oc")).alias("m")
+            sel = (
+                ec.select(F.col("ca").alias("c"), "w", "a", "b", F.col("cb").alias("oc"))
+                .unionByName(
+                    ec.select(F.col("cb").alias("c"), "w", "a", "b", F.col("ca").alias("oc"))
+                )
+                .groupBy("c")
+                .agg(F.min(m).alias("m"))
+                .persist()
+            )
+            forest = truncated_checkpoint(
+                forest.unionByName(
+                    sel.select(F.col("m.a").alias("a"), F.col("m.b").alias("b"), F.col("m.w").alias("w"))
+                ).dropDuplicates()
+            )
+            # contraction pointers: each selected component points at
+            # its partner; break each pseudo-tree's unique mutual
+            # 2-cycle toward the smaller id, then jump to the root
+            ptr = sel.select("c", F.col("m.oc").alias("p"))
+            pp = ptr.select(F.col("c").alias("p"), F.col("p").alias("gp"))
+            ptr = (
+                ptr.join(pp, "p", "left")
+                .select(
+                    "c",
+                    F.when((F.col("gp") == F.col("c")) & (F.col("c") < F.col("p")), F.col("c"))
+                    .otherwise(F.col("p"))
+                    .alias("p"),
+                )
+            )
+            ptr = truncated_checkpoint(ptr)
+            for _j in range(_MAX_JUMPS):
+                hop = ptr.select(F.col("c").alias("p"), F.col("p").alias("gp"))
+                nxt = ptr.join(hop, "p", "left").select(
+                    "c", F.coalesce("gp", "p").alias("p")
+                )
+                nxt = truncated_checkpoint(nxt)
+                changed = nxt.join(
+                    ptr.withColumnRenamed("p", "p0"), "c"
+                ).where(F.col("p") != F.col("p0")).isEmpty()
+                ptr = nxt
+                if changed:
+                    break
+            else:  # pragma: no cover - 2^40 components is unreachable
+                raise RuntimeError("pointer jumping did not converge")
+            comp = truncated_checkpoint(
+                comp.join(ptr.withColumnRenamed("c", "comp"), "comp", "left")
+                .select("id", F.coalesce("p", "comp").alias("comp"))
+            )
+            sel.unpersist()
+            ec.unpersist()
+        raise RuntimeError(
+            f"minimum_spanning_forest did not converge within max_iters={max_iters} "
+            "rounds; components halve per round, so this indicates a logic error "
+            "(or >2^30 components — raise max_iters)"
+        )
+    finally:
+        edges.unpersist()
+
+
+def msf_components(graph: Graph, weight_col: str = "weight", max_iters: int = 30) -> DataFrame:
+    """Convenience: the (id, comp) assignment implied by the forest —
+    Borůvka's contraction IS a connected-components computation, so
+    the final comp table doubles as a CC witness (law-tested against
+    algorithms.components in pytest)."""
+    forest = minimum_spanning_forest(graph, weight_col, max_iters)
+    from quiver_spark.algorithms.components import connected_components
+
+    und = Graph.from_edges(
+        forest.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    # vertices absent from the forest (isolated) keep their own id
+    res = connected_components(und).state.select("id", F.col("component").alias("comp"))
+    all_ids = graph.vertices.select("id")
+    return all_ids.join(res, "id", "left").select(
+        "id", F.coalesce("comp", "id").alias("comp")
+    )

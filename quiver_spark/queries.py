@@ -266,6 +266,58 @@ def q_coloring_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_coloring(g, num_iters=COLORING_ITERS).orderBy("id")
 
 
+MSF_WMOD = 97  # small modulus -> many duplicate weights, so the
+# (w, a, b) total-order tie-break carries the forest's uniqueness
+
+
+def q_msf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the undirected bowtie graph under
+    deterministic integer weights w = ((a*31 + b*17) % MSF_WMOD) + 1
+    on canonical (a < b) pairs. The Spark side runs distributed
+    Borůvka (contraction + pointer jumping); the DuckDB twin checks
+    the INDEPENDENT cycle-property characterization — an edge is in
+    the MSF iff its endpoints are not connected by strictly smaller
+    edges under the (w, a, b) total order. Exact integer weights, no
+    fp anywhere. Round 5."""
+    from quiver_spark.algorithms.msf import minimum_spanning_forest
+    from quiver_spark.graph import Graph
+
+    e = _scc_parts_edges(spark, sf_dir)
+    a, b = F.least("src", "dst"), F.greatest("src", "dst")
+    g = Graph.from_edges(
+        e.select("src", "dst", ((a * 31 + b * 17) % MSF_WMOD + 1).alias("weight"))
+    )
+    return minimum_spanning_forest(g).orderBy("w", "a", "b")
+
+
+def _msf_oracle_sql() -> str:
+    """Cycle-property MSF twin: lreach carries, per candidate edge,
+    the set of vertices reachable from its ``a`` endpoint using only
+    strictly (w, a, b)-smaller edges; the forest is every edge whose
+    ``b`` endpoint that closure never reaches."""
+    return f"""
+WITH RECURSIVE {_BOWTIE_UNDIR_CTES.format(mod=SCC_ORDER_MOD).strip()},
+ew AS (
+  SELECT a, b, ((a * 31 + b * 17) % {MSF_WMOD}) + 1 AS w
+  FROM (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0)
+),
+lreach(ea, eb2, ew_, v) AS (
+  SELECT a, b, w, a FROM ew
+  UNION
+  SELECT l.ea, l.eb2, l.ew_, CASE WHEN x.a = l.v THEN x.b ELSE x.a END
+  FROM lreach l JOIN ew x ON (x.a = l.v OR x.b = l.v)
+  WHERE x.w < l.ew_
+     OR (x.w = l.ew_ AND (x.a < l.ea OR (x.a = l.ea AND x.b < l.eb2)))
+)
+SELECT e.a, e.b, CAST(e.w AS BIGINT) AS w
+FROM ew e
+WHERE NOT EXISTS (
+  SELECT 1 FROM lreach l WHERE l.ea = e.a AND l.eb2 = e.b AND l.v = e.b
+)
+ORDER BY w, a, b
+"""
+
+
 def q_scc_condensation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Condensation DAG of the part bowtie graph: one row per
     cross-component edge, carrying both endpoint components' sizes —
@@ -2748,6 +2800,7 @@ FROM ids LEFT JOIN cnt ON cnt.id = ids.id JOIN deg ON deg.id = ids.id
     # both lexicographic, integer state → exact fixed-round parity
     "mis_parts": _mis_oracle_sql(MIS_ITERS),
     "coloring_parts": _coloring_oracle_sql(COLORING_ITERS),
+    "msf_parts": _msf_oracle_sql(),
     # deterministic walk corpus: recursive-CTE twin, identical hash text
     "walks_parts": _walks_oracle_sql(WALKS_PER_VERTEX, WALK_LEN),
     # k-truss peel: unoriented common-neighbor recount per round
@@ -2995,6 +3048,7 @@ QUERIES = {
     # Luby MIS + iterated-MIS greedy coloring (unrolled twins, exact)
     "mis_parts": q_mis_parts,
     "coloring_parts": q_coloring_parts,
+    "msf_parts": q_msf_parts,
     # deterministic random-walk corpus (recursive-CTE twin, exact)
     "walks_parts": q_walks_parts,
     # k-truss of the part co-order graph (cross-family support twin)
