@@ -11,7 +11,7 @@ efficiency, and prints one JSON line.
 
 Usage: python bench/scaling.py [--edges 20000000] [--vertices 2000000]
        [--iters 10] [--levels 8,32] [--strategy bhj]
-       [--algo pagerank|cc|cc_star|lp|kcore|scc|anf|triangles|ingest|neardup]
+       [--algo pagerank|cc|cc_star|lp|kcore|scc|anf|msf|triangles|ingest|neardup]
 
 One-shot modes (triangles / ingest / neardup) run the job
 SCALING_ONESHOT_RUNS times per level (env, default 2) and report the
@@ -157,6 +157,22 @@ if algo == "scc":
                  .state.select("scc").distinct().count()},
         n_e, "fwbw-coloring",
     )
+if algo == "msf":
+    # one-shot: Boruvka rounds shrink geometrically (components at
+    # least halve), so per-round walls are not comparable supersteps —
+    # measure the whole contraction. Deterministic integer weights
+    # synthesized on the cached edge table; msf unpersists its own
+    # canonical-edge cache every run.
+    from quiver_spark.algorithms.msf import minimum_spanning_forest
+    from pyspark.sql import functions as F
+    gw = Graph(
+        g.vertices,
+        g.edges.withColumn("weight", (F.col("src") * 31 + F.col("dst") * 17) % 97 + 1),
+    )
+    oneshot(
+        lambda: {"n_forest": minimum_spanning_forest(gw, max_iters=40).count()},
+        n_e, "boruvka-contraction",
+    )
 if algo == "triangles":
     # input graph cache stays warm across both runs (triangle_count
     # unpersists its own internals, so run 2 re-executes the full
@@ -258,13 +274,13 @@ def main() -> None:
                     help="scale the child heap with the level (N cores -> N*GB); 0 = constant 24g at every level")
     ap.add_argument(
         "--algo", default="pagerank",
-        choices=["pagerank", "cc", "cc_star", "lp", "kcore", "scc", "anf", "triangles", "ingest", "neardup", "dedup_keep"],
+        choices=["pagerank", "cc", "cc_star", "lp", "kcore", "scc", "anf", "msf", "triangles", "ingest", "neardup", "dedup_keep"],
     )
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
     # one-shot modes have a single physical plan; --strategy is
     # superstep-tier only. For doc modes --edges is the row count.
-    _ONESHOT_LABEL = {"triangles": "degree-oriented", "ingest": "one-content-scan", "neardup": "minhash-lsh", "dedup_keep": "pairs-cc-keep", "scc": "fwbw-coloring"}
+    _ONESHOT_LABEL = {"triangles": "degree-oriented", "ingest": "one-content-scan", "neardup": "minhash-lsh", "dedup_keep": "pairs-cc-keep", "scc": "fwbw-coloring", "msf": "boruvka-contraction"}
     if args.algo in _ONESHOT_LABEL:
         args.strategy = _ONESHOT_LABEL[args.algo]
     elif args.algo == "kcore":
