@@ -123,12 +123,15 @@ def pagerank(
     vertex set; rows for absent vertices are ignored; the covered
     total must be > 0) instead of uniformly:
     ``rank(v) = (1-d)·rst(v) + d·(Σ msgs + dsum·rst(v))``, init =
-    rst. Supported on the ``local`` and ``smj`` tiers; ``auto``
-    resolves mirror/csr-sized graphs to smj (correct at any size —
-    the known mirror/CSR extension folds rst into the per-block
-    broadcast exactly like the dangling flag, not built until a
-    profile demands it), while an EXPLICIT mirror/csr strategy with
-    ``reset`` raises. Combining with ``init_ranks`` raises.
+    rst. Supported on the ``local``, ``smj``, ``bhj`` and ``csr``
+    tiers (round 5: rst folds into the static vertex frame exactly
+    like the dangling flag — the bhj mirror bakes it into the
+    block-partitioned ids table, so the personalized superstep stays
+    zero-exchange). Only the two numpy-mirror variants
+    (``csr_bcast``/``csr_packed``) still bake the uniform-teleport
+    scalar into their kernels; ``auto`` re-routes them to ``bhj``
+    (same mirror size class), an EXPLICIT request raises. Combining
+    with ``init_ranks`` raises.
 
     ``num_iters`` set → exactly that many supersteps, no convergence
     action (oracle mode). Otherwise iterate until max |Δrank| ≤ tol.
@@ -215,15 +218,19 @@ def pagerank(
             max_iters=max_iters, init_ranks=init_ranks, reset=reset,
         )
 
-    if reset is not None and strategy != "smj":
+    if reset is not None and strategy not in ("smj", "bhj", "csr"):
+        # rst folds into the static vertex frame like the dang flag, so
+        # the distributed tiers all support it (round 5: smj + the bhj
+        # mirror + the csr beyond-broadcast tier). Only the two
+        # numpy-mirror variants still bake the uniform-teleport scalar
+        # into their kernels; auto re-routes them to bhj (the same
+        # mirror size class), an explicit request is an error.
         if not was_auto:
             raise ValueError(
                 f"reset (personalized PageRank) is not implemented for the "
-                f"{strategy!r} tier — use strategy='smj'/'local'/'auto' "
-                f"(docstring: the mirror/CSR extension is a known recipe)"
+                f"{strategy!r} tier — use strategy='smj'/'bhj'/'csr'/'local'/'auto'"
             )
-        strategy = "smj"
-        n_salts = n_salts if n_salts is not None else "auto"
+        strategy = "bhj"
 
     if weight_col is None:
         out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(
@@ -280,6 +287,32 @@ def pagerank(
         persisted.append(df)
         return df
 
+    # personalized teleport distribution: (id, dang, rst) with rst
+    # normalized over the graph's vertices — one one-time agg, then a
+    # static column the vertex frame carries (exactly like the dang
+    # flag). Built BEFORE the strategy frames so the bhj mirror bakes
+    # rst into its block-partitioned ids_b (zero per-superstep cost).
+    ids_rst = None
+    if reset is not None:
+        wcol = [c for c in reset.columns if c != "id"][0]
+        rw = reset.select("id", F.col(wcol).cast("double").alias("_w")).dropDuplicates(["id"])
+        idw = keep(
+            ids.join(rw, "id", "left").select(
+                "id", "dang", F.coalesce(F.col("_w"), F.lit(0.0)).alias("_w")
+            )
+        )
+        tot_row = idw.agg(F.sum("_w").alias("t"), F.min("_w").alias("m")).collect()[0]
+        if tot_row["m"] is not None and tot_row["m"] < 0:
+            raise ValueError("reset weights must be nonnegative")
+        if not tot_row["t"] or tot_row["t"] <= 0:
+            raise ValueError(
+                "reset weights must sum > 0 over the graph's vertex set "
+                "(rows for absent vertices are ignored)"
+            )
+        ids_rst = keep(
+            idw.select("id", "dang", (F.col("_w") / F.lit(float(tot_row["t"]))).alias("rst"))
+        )
+
     # ------------------------------------------------------------------
     # strategy-specific prepared frames
     # ------------------------------------------------------------------
@@ -308,7 +341,8 @@ def pagerank(
         )
         edges_w.count()
         ids_b = keep(
-            ids.withColumn("block", _block("id", n_blocks))
+            (ids_rst if ids_rst is not None else ids)
+            .withColumn("block", _block("id", n_blocks))
             .repartition(n_blocks, "block")
             .sortWithinPartitions("block", "id")
         )
@@ -345,29 +379,6 @@ def pagerank(
         ids_b.count()
     else:
         raise ValueError(f"unknown pagerank strategy: {strategy!r}")
-
-    # personalized teleport distribution: (id, dang, rst) with rst
-    # normalized over the graph's vertices — one one-time agg, then a
-    # static column the state carries (exactly like the dang flag)
-    if reset is not None:
-        wcol = [c for c in reset.columns if c != "id"][0]
-        rw = reset.select("id", F.col(wcol).cast("double").alias("_w")).dropDuplicates(["id"])
-        idw = keep(
-            ids.join(rw, "id", "left").select(
-                "id", "dang", F.coalesce(F.col("_w"), F.lit(0.0)).alias("_w")
-            )
-        )
-        tot_row = idw.agg(F.sum("_w").alias("t"), F.min("_w").alias("m")).collect()[0]
-        if tot_row["m"] is not None and tot_row["m"] < 0:
-            raise ValueError("reset weights must be nonnegative")
-        if not tot_row["t"] or tot_row["t"] <= 0:
-            raise ValueError(
-                "reset weights must sum > 0 over the graph's vertex set "
-                "(rows for absent vertices are ignored)"
-            )
-        ids_rst = keep(
-            idw.select("id", "dang", (F.col("_w") / F.lit(float(tot_row["t"]))).alias("rst"))
-        )
 
     # internal state schema: (id, rank, dang, delta) — plus the static
     # rst column in personalized mode; stripped on return.
@@ -502,8 +513,11 @@ def pagerank(
         from quiver_spark import csr
 
         summed = csr.csr_contributions(blocked, state.select("id", "rank"), n_blocks)
+        carry = ["id", F.col("rank").alias("_prev"), "dang"] + (
+            ["rst"] if reset is not None else []
+        )
         joined = (
-            state.select("id", F.col("rank").alias("_prev"), "dang")
+            state.select(*carry)
             .join(summed.withColumnRenamed("dst", "id"), "id", "left")
             .crossJoin(F.broadcast(dang_row(state)))
         )

@@ -44,6 +44,12 @@ def test_ppr_local_equals_smj(spark):
     sm = _ranks(pagerank(g, num_iters=15, strategy="smj", reset=seed))
     assert lo.keys() == sm.keys()
     assert all(abs(lo[k] - sm[k]) < 1e-13 for k in lo)
+    # round 5: the bhj mirror and csr beyond-broadcast tiers carry the
+    # rst column in their static vertex frames — same fixpoint path
+    for strat in ("bhj", "csr"):
+        tier = _ranks(pagerank(g, num_iters=15, strategy=strat, reset=seed))
+        assert tier.keys() == sm.keys()
+        assert all(abs(tier[k] - sm[k]) < 1e-13 for k in sm)
     # tolerance mode reaches the fixpoint a long fixed run converges to
     # (15 iters is NOT converged — 0.85^15 ≈ 0.09 — so compare against
     # a 300-iteration run, not the snapshot above)
@@ -80,25 +86,29 @@ def test_ppr_reset_validation(spark):
             pagerank(g, num_iters=2, strategy=strat, reset=absent)
 
 
-def test_ppr_explicit_mirror_tier_raises_auto_clamps_to_smj(spark):
+def test_ppr_explicit_numpy_mirror_raises_auto_reroutes_to_bhj(spark):
     g = _graph(spark)
     seed = spark.createDataFrame([(1, 1.0)], "id long, weight double")
+    # the two numpy-mirror kernels bake the uniform-teleport scalar:
+    # explicit request raises (bhj/csr are supported since round 5)
     with pytest.raises(ValueError, match="not implemented"):
-        pagerank(g, num_iters=2, strategy="bhj", reset=seed)
+        pagerank(g, num_iters=2, strategy="csr_bcast", reset=seed)
     with pytest.raises(ValueError, match="not implemented"):
         pagerank(g, num_iters=2, strategy="csr_packed", reset=seed)
-    # auto on a graph the tiering would send to the mirror tier must
-    # clamp to smj (correct at any size) instead of raising: force the
+    # auto in the mirror regime with mirrorStrategy=csr_packed must
+    # re-route to bhj (same size class) instead of raising: force the
     # mirror regime by zeroing both the local and smj thresholds
     spark.conf.set(tiering.LOCAL_MAX_EDGES_KEY, "0")
     spark.conf.set(tiering.SMJ_MAX_EDGES_KEY, "0")
+    spark.conf.set(tiering.MIRROR_STRATEGY_KEY, "csr_packed")
     try:
         per = _ranks(pagerank(g, num_iters=12, strategy="auto", reset=seed))
     finally:
         spark.conf.unset(tiering.LOCAL_MAX_EDGES_KEY)
         spark.conf.unset(tiering.SMJ_MAX_EDGES_KEY)
+        spark.conf.unset(tiering.MIRROR_STRATEGY_KEY)
     ref = _ranks(pagerank(g, num_iters=12, strategy="smj", reset=seed))
-    assert all(abs(per[k] - ref[k]) < 1e-14 for k in ref)
+    assert all(abs(per[k] - ref[k]) < 1e-13 for k in ref)
 
 
 def test_ppr_rejects_init_ranks_combination(spark):
