@@ -108,11 +108,13 @@ def pagerank(
     WEIGHTED PageRank: rank flows out of ``src`` proportionally to
     the edge's weight instead of uniformly
     (``w_e = weight_e / Σ weight(src)``); weights must be > 0 (one
-    validating aggregate, raises otherwise). Implemented on the
-    ``smj`` tier (``auto`` resolves there — the mirror/CSR extension
-    packs the normalized weight next to dst exactly like the uniform
-    1/outdeg, a known recipe not built until a profile demands it;
-    EXPLICIT other tiers raise). A constant-1.0 weight column is
+    validating aggregate, raises otherwise). Implemented on every
+    tier the normalized edge frame flows through — ``smj``, the
+    ``bhj`` mirror, ``csr`` and ``csr_bcast`` (round 5). The
+    driver-local numpy tier and ``csr_packed`` re-derive the uniform
+    1/outdeg themselves: ``auto`` re-routes them to the nearest
+    weighted tier, an EXPLICIT request raises. A constant-1.0 weight
+    column is
     bit-identical to the unweighted path (Σ over k edges of 1.0 is
     exactly k in fp; law-tested). Composes with ``reset`` (weights
     shape the walk, reset shapes the teleport) and ``init_ranks``.
@@ -188,18 +190,25 @@ def pagerank(
             # while a power-law dst fans across reducer cells
             n_salts = "auto"
 
-    if weight_col is not None and strategy != "smj":
-        # same contract as reset: auto re-routes to the correct-at-
-        # any-size smj tier, an explicit other tier is an error
+    if weight_col is not None and strategy not in ("smj", "bhj", "csr", "csr_bcast"):
+        # edges_w carries the normalized per-edge outflow share for
+        # every edge-frame tier, so weighted PageRank runs wherever the
+        # w column flows (round 5: smj + bhj mirror + csr + csr_bcast).
+        # The two tiers that re-derive 1/outdeg themselves — the
+        # driver-local numpy tier and csr_packed (folds inv_outdeg into
+        # the packed payload) — stay unsupported: auto re-routes them
+        # to the nearest weighted tier, an explicit request raises.
         if not was_auto:
             raise ValueError(
                 f"weight_col is not implemented for the {strategy!r} tier — "
-                "use strategy='smj'/'auto' (docstring: the mirror/CSR "
-                "extension is a known recipe)"
+                "use strategy='smj'/'bhj'/'csr'/'csr_bcast'/'auto'"
             )
-        strategy = "smj"
-        if n_salts is None:
-            n_salts = "auto"
+        if strategy == "local":
+            strategy = "smj"
+            if n_salts is None:
+                n_salts = "auto"
+        else:  # auto picked the csr_packed numpy mirror
+            strategy = "bhj"
 
     if strategy == "local":
         # driver-local numpy tier (algorithms/local_tier.py): guarded

@@ -609,8 +609,9 @@ def test_pagerank_weighted_conservation_and_reset_compose(spark):
 
 
 def test_pagerank_weighted_validation(spark):
-    """Non-positive weights raise; an explicit non-smj tier raises
-    (auto re-routes to smj instead)."""
+    """Non-positive weights raise; the two tiers that re-derive
+    1/outdeg themselves (local numpy, csr_packed) raise on an explicit
+    request (auto re-routes them instead)."""
     V = spark.createDataFrame([(0, "a"), (1, "b")], "id long, name string")
     E = spark.createDataFrame([(0, 1, 0.0)], "src long, dst long, weight double")
     from quiver_spark.graph import Graph
@@ -618,5 +619,28 @@ def test_pagerank_weighted_validation(spark):
     bad = Graph.mk_graph(V, E)
     with pytest.raises(ValueError, match="strictly positive"):
         pagerank(bad, num_iters=1, weight_col="weight")
-    with pytest.raises(ValueError, match="not implemented for the 'csr'"):
-        pagerank(_wgraph(spark), num_iters=1, weight_col="weight", strategy="csr")
+    with pytest.raises(ValueError, match="not implemented for the 'local'"):
+        pagerank(_wgraph(spark), num_iters=1, weight_col="weight", strategy="local")
+    with pytest.raises(ValueError, match="not implemented for the 'csr_packed'"):
+        pagerank(_wgraph(spark), num_iters=1, weight_col="weight", strategy="csr_packed")
+
+
+def test_pagerank_weighted_tier_equality(spark):
+    """Round 5: the normalized edge frame flows through smj, the bhj
+    mirror, csr and csr_bcast — same weighted fixpoint path on all
+    four (and composed with reset on the three DataFrame tiers)."""
+    g = _wgraph(spark)
+    ref = {r["id"]: r["rank"] for r in
+           pagerank(g, num_iters=8, weight_col="weight", strategy="smj").state.collect()}
+    for strat in ("bhj", "csr", "csr_bcast"):
+        got = {r["id"]: r["rank"] for r in
+               pagerank(g, num_iters=8, weight_col="weight", strategy=strat).state.collect()}
+        assert got.keys() == ref.keys()
+        assert all(abs(got[k] - ref[k]) < 1e-13 for k in ref), strat
+    seed = spark.createDataFrame([(0, 1.0)], "id long, weight double")
+    pref = {r["id"]: r["rank"] for r in
+            pagerank(g, num_iters=8, weight_col="weight", reset=seed, strategy="smj").state.collect()}
+    for strat in ("bhj", "csr"):
+        got = {r["id"]: r["rank"] for r in
+               pagerank(g, num_iters=8, weight_col="weight", reset=seed, strategy=strat).state.collect()}
+        assert all(abs(got[k] - pref[k]) < 1e-13 for k in pref), strat
