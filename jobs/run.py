@@ -9,12 +9,16 @@ The north rule (BASELINE.json:14) requires the engine to ship as
         --run-dir /ckpt/pr_run1 --strategy auto --tol 1e-6
 
 Subcommands: ``ingest``, ``pagerank``, ``components``, ``labelprop``,
-``triangles``, ``synthesize``, ``near-dups``, ``dedup-keep``,
-``ann-index``, ``stream-ingest``. Every iterative job takes
-``--run-dir`` for durable checkpoints + per-partition lineage +
-metrics, and is resumable: re-submitting the same command with the
-same --run-dir continues from the newest completed superstep
-(SuperstepRunner.run resume=True). ``stream-ingest`` is incrementally
+``triangles``, ``scc``, ``kcore``, ``msf``, ``walks``, ``synthesize``,
+``near-dups``, ``dedup-keep``, ``ann-index``, ``stream-ingest``.
+Every runner-based iterative job (pagerank / components / labelprop /
+scc / kcore) takes ``--run-dir`` for durable checkpoints +
+per-partition lineage + metrics, and is resumable: re-submitting the
+same command with the same --run-dir continues from the newest
+completed superstep (SuperstepRunner.run resume=True). ``msf`` and
+``walks`` are one-shot jobs and REFUSE --run-dir (msf has no durable
+mid-contraction checkpoint; walks is deterministic — a re-run
+reproduces the corpus bit-for-bit). ``stream-ingest`` is incrementally
 resumable the streaming way: its --run-dir is the stream's
 checkpointLocation, so a re-submit processes only repo-table files
 that arrived since the last run.
@@ -135,6 +139,13 @@ def main(argv: list[str] | None = None) -> int:
         # start's renormalization assumes the uniform-teleport fixpoint
         ap.error("--reset (personalized teleport) cannot be combined with "
                  "--init-ranks (warm start)")
+    if args.run_dir and args.cmd in ("msf", "walks"):
+        # one-shot jobs: msf has no durable mid-contraction checkpoint,
+        # walks is deterministic (a re-run reproduces the corpus
+        # bit-for-bit) — refuse instead of silently voiding the resume
+        # contract the flag advertises
+        ap.error(f"{args.cmd} does not support --run-dir (one-shot job; "
+                 "resume has nothing durable to continue from)")
 
     spark = _spark(args)
     from quiver_spark.superstep import SuperstepRunner
@@ -315,7 +326,7 @@ def main(argv: list[str] | None = None) -> int:
             gw, weight_col=args.weight_col or "_unit_w", max_iters=args.max_iters
         )
         io.write(forest, args.output)
-        out = {"job": "msf", "forest_edges": forest.count()}
+        out = {"job": "msf", "forest_edges": io.read(args.output).count()}
     elif args.cmd == "walks":
         from quiver_spark.algorithms.walks import random_walks
 
@@ -324,8 +335,7 @@ def main(argv: list[str] | None = None) -> int:
             direction=args.direction, seed=args.seed,
         )
         io.write(corpus, args.output)
-        out = {"job": "walks", "rows": spark.read.parquet(args.output).count()
-               if args.format == "parquet" else corpus.count()}
+        out = {"job": "walks", "rows": io.read(args.output).count()}
     else:  # pragma: no cover
         raise SystemExit(2)
 

@@ -91,6 +91,25 @@ def minimum_spanning_forest(
     contract matches kcore/scc/cheapestPath: no silent partial
     forest)."""
     spark = graph.spark
+    # integral-weight contract, validated: a silent cast("long") on a
+    # fractional column would return a forest that is NOT minimal for
+    # the given weights with no error — fail loudly instead (one
+    # aggregate over the edge scan, once)
+    frac = graph.edges.agg(
+        F.max(
+            F.when(
+                F.col(weight_col).cast("double")
+                != F.col(weight_col).cast("long").cast("double"),
+                1,
+            ).otherwise(0)
+        )
+    ).first()[0]
+    if frac:
+        raise ValueError(
+            f"weight_col={weight_col!r} must be integral — fractional weights "
+            "would be silently truncated; scale fixed-point weights to "
+            "integers at the caller (e.g. floor(w * 1e9))"
+        )
     edges = _canonical_weighted(graph, weight_col).persist()
     edges.count()
     comp = truncated_checkpoint(graph.vertices.select("id", F.col("id").alias("comp")))

@@ -113,3 +113,13 @@ def test_max_iters_raises_instead_of_partial(spark):
     edges = [(1, 2, 1), (3, 4, 1)]
     with pytest.raises(RuntimeError, match="did not converge"):
         minimum_spanning_forest(_mk(spark, edges), max_iters=0)
+
+
+def test_fractional_weights_raise_instead_of_truncating(spark):
+    g = Graph.from_edges(
+        spark.createDataFrame(
+            [(1, 2, 0.3), (2, 3, 0.7)], "src long, dst long, weight double"
+        )
+    )
+    with pytest.raises(ValueError, match="must be integral"):
+        minimum_spanning_forest(g)

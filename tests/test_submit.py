@@ -88,6 +88,23 @@ def test_cli_rejects_reset_with_warm_start(tmp_path):
     assert exc.value.code == 2
 
 
+def test_cli_rejects_run_dir_on_one_shot_jobs(tmp_path):
+    """msf/walks are one-shot: --run-dir is refused at parse time
+    instead of silently voiding the resume contract it advertises."""
+    sys.path.insert(0, os.path.join(ROOT, "jobs"))
+    import run as job_run
+
+    for cmd in ("msf", "walks"):
+        with pytest.raises(SystemExit) as exc:
+            job_run.main([
+                cmd,
+                "--input", str(tmp_path / "nope"),
+                "--output", str(tmp_path / "out"),
+                "--run-dir", str(tmp_path / "ckpt"),
+            ])
+        assert exc.value.code == 2
+
+
 def test_submit_pagerank_job_and_resume(tmp_path):
     res = _submit(
         tmp_path,
@@ -438,12 +455,27 @@ def test_submit_msf_and_walks_jobs(tmp_path):
     assert res["job"] == "msf" and res["forest_edges"] > 0
     import duckdb
 
-    # forest identity: edges == vertices - components of the forest
-    # itself (acyclicity witness: DuckDB closure over the forest)
-    n_edges = duckdb.sql(
-        f"select count(*) from '{tmp_path}/forest/*.parquet'"
-    ).fetchone()[0]
+    # forest identity on the WRITTEN parquet: an acyclic edge set has
+    # exactly (vertices - components) edges — computed independently
+    # in DuckDB via the undirected recursive closure, so a contraction
+    # regression that emits a cycle or a duplicate intra-component
+    # edge fails here (not a row-count tautology)
+    n_edges, n_verts, n_comps = duckdb.sql(f"""
+        WITH RECURSIVE f AS (SELECT a, b FROM '{tmp_path}/forest/*.parquet'),
+        u AS (SELECT a AS s, b AS d FROM f UNION ALL SELECT b, a FROM f),
+        verts AS (SELECT DISTINCT s AS id FROM u),
+        r(root, id) AS (
+          SELECT id, id FROM verts
+          UNION
+          SELECT r.root, u.d FROM r JOIN u ON u.s = r.id
+        ),
+        comp AS (SELECT id, MIN(root) AS c FROM r GROUP BY id)
+        SELECT (SELECT count(*) FROM f),
+               (SELECT count(*) FROM verts),
+               (SELECT count(DISTINCT c) FROM comp)
+    """).fetchone()
     assert n_edges == res["forest_edges"]
+    assert n_edges == n_verts - n_comps, "written forest is not acyclic"
 
     res2 = _submit(
         tmp_path,
