@@ -36,20 +36,29 @@ Round t on the remaining multi-component graph:
 Plan shape & 100 TB notes:
 
 - Per round: one edges ⋈ comp join per endpoint (vertex-keyed, the
-  same shuffle shape as every iterative flagship), one ALGEBRAIC
-  min-aggregate over ``struct(w, a, b, partner)`` (map-side combine —
-  a hub component's millions of boundary edges reduce to one row per
-  upstream task before the shuffle), and a component-sized
-  pointer-jumping loop (the ptr table shrinks geometrically with the
-  component count; each hop is a self-join on component ids, not
-  vertex ids).
-- Cross-component edge count per round is the loop condition — a
+  same shuffle shape as every iterative flagship), then TWO algebraic
+  min-aggregates with map-side combine — first the Borůvka STEP's
+  pair contraction (one row per unordered component pair: between two
+  current components only the (w, a, b)-minimal edge can ever join
+  the MSF, so the non-minimal parallels are removed permanently), then
+  the per-component minimum over those pair rows. A hub component's
+  millions of boundary edges reduce to one row per upstream task
+  before either shuffle.
+- The carried edge table is the surviving pair-minimal candidates —
+  it shrinks geometrically with the component count (measured on a
+  20M-edge power-law graph: 20M → 1.9M → 162k → … within three
+  rounds), so total work is Σ E_t ≈ O(E), not rounds × E. The round-1
+  implementation re-joined all E edges every round; the 2→8 scaling
+  row exposed the difference (0.754 → re-measured after contraction,
+  see BENCH/BASELINE.md).
+- Pointer jumping runs on the component-sized ptr table (self-joins
+  on component ids, not vertex ids), idempotent at its fixpoint.
+- Emptiness of the contracted pair table is the loop condition — a
   driver scalar, like every runner convergence check.
-- Parallel edges collapse to their minimum-(w,a,b) representative
-  once, up front (only the lightest parallel edge can ever be in the
-  MSF); self-loops drop (never in a forest).
-- The forest accumulator is checkpoint-truncated every round so plan
-  statistics cannot compound across rounds (superstep.py).
+- Parallel input edges collapse to their minimum-(w,a,b)
+  representative once, up front; self-loops drop (never in a forest).
+- The forest accumulator and carried tables are checkpoint-truncated
+  every round so plan statistics cannot compound (superstep.py).
 """
 
 from __future__ import annotations
@@ -110,35 +119,53 @@ def minimum_spanning_forest(
             "would be silently truncated; scale fixed-point weights to "
             "integers at the caller (e.g. floor(w * 1e9))"
         )
-    edges = _canonical_weighted(graph, weight_col).persist()
-    edges.count()
+    edges = truncated_checkpoint(_canonical_weighted(graph, weight_col))
     comp = truncated_checkpoint(graph.vertices.select("id", F.col("id").alias("comp")))
     forest = spark.createDataFrame([], "a long, b long, w long")
     try:
         for _ in range(max_iters):
-            ec = (
+            # cross-component candidates, CONTRACTED to one row per
+            # unordered component pair — the standard Borůvka step on
+            # the contracted multigraph: between two current components
+            # only the (w, a, b)-minimal edge can ever join the MSF
+            # (any other closes a cycle with it in the contracted
+            # graph), so the non-minimal parallels are removed
+            # PERMANENTLY and the carried edge table shrinks
+            # geometrically with the component count instead of
+            # re-scanning all input edges every round.
+            pairs = (
                 edges.join(comp.select(F.col("id").alias("a"), F.col("comp").alias("ca")), "a")
                 .join(comp.select(F.col("id").alias("b"), F.col("comp").alias("cb")), "b")
                 .where(F.col("ca") != F.col("cb"))
-                .persist()
+                .groupBy(
+                    F.least("ca", "cb").alias("_cx"), F.greatest("ca", "cb").alias("_cy")
+                )
+                .agg(F.min(F.struct("w", "a", "b", "ca", "cb")).alias("m"))
+                .select("m.w", "m.a", "m.b", "m.ca", "m.cb")
             )
-            if ec.isEmpty():
-                ec.unpersist()
+            pairs = truncated_checkpoint(pairs)
+            if pairs.isEmpty():
                 return forest.orderBy("w", "a", "b")
             m = F.struct("w", "a", "b", F.col("oc")).alias("m")
             sel = (
-                ec.select(F.col("ca").alias("c"), "w", "a", "b", F.col("cb").alias("oc"))
+                pairs.select(F.col("ca").alias("c"), "w", "a", "b", F.col("cb").alias("oc"))
                 .unionByName(
-                    ec.select(F.col("cb").alias("c"), "w", "a", "b", F.col("ca").alias("oc"))
+                    pairs.select(F.col("cb").alias("c"), "w", "a", "b", F.col("ca").alias("oc"))
                 )
                 .groupBy("c")
                 .agg(F.min(m).alias("m"))
                 .persist()
             )
+            # a selected edge merges its endpoints, so it can never be
+            # cross-component again — rounds are disjoint and the only
+            # dedup needed is within the round (both endpoints of the
+            # globally-minimal pair edge select it)
             forest = truncated_checkpoint(
                 forest.unionByName(
-                    sel.select(F.col("m.a").alias("a"), F.col("m.b").alias("b"), F.col("m.w").alias("w"))
-                ).dropDuplicates()
+                    sel.select(
+                        F.col("m.a").alias("a"), F.col("m.b").alias("b"), F.col("m.w").alias("w")
+                    ).dropDuplicates()
+                )
             )
             # contraction pointers: each selected component points at
             # its partner; break each pseudo-tree's unique mutual
@@ -173,8 +200,12 @@ def minimum_spanning_forest(
                 comp.join(ptr.withColumnRenamed("c", "comp"), "comp", "left")
                 .select("id", F.coalesce("p", "comp").alias("comp"))
             )
+            # carry only the surviving pair-minimal candidates forward:
+            # every removed edge was non-minimal between its current
+            # component pair, hence non-minimal between any future
+            # merged pair (the pair minimum is preserved under merges)
+            edges = pairs.select("a", "b", "w")
             sel.unpersist()
-            ec.unpersist()
         raise RuntimeError(
             f"minimum_spanning_forest did not converge within max_iters={max_iters} "
             "rounds; components halve per round, so this indicates a logic error "
