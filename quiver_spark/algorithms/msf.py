@@ -123,7 +123,7 @@ def minimum_spanning_forest(
     comp = truncated_checkpoint(graph.vertices.select("id", F.col("id").alias("comp")))
     forest = spark.createDataFrame([], "a long, b long, w long")
     try:
-        for _ in range(max_iters):
+        for _round in range(max_iters):
             # cross-component candidates, CONTRACTED to one row per
             # unordered component pair — the standard Borůvka step on
             # the contracted multigraph: between two current components
@@ -133,17 +133,33 @@ def minimum_spanning_forest(
             # PERMANENTLY and the carried edge table shrinks
             # geometrically with the component count instead of
             # re-scanning all input edges every round.
-            pairs = (
-                edges.join(comp.select(F.col("id").alias("a"), F.col("comp").alias("ca")), "a")
-                .join(comp.select(F.col("id").alias("b"), F.col("comp").alias("cb")), "b")
-                .where(F.col("ca") != F.col("cb"))
-                .groupBy(
-                    F.least("ca", "cb").alias("_cx"), F.greatest("ca", "cb").alias("_cy")
+            #
+            # Round 1 is the identity contraction: comp is the identity
+            # map, so (least(ca,cb), greatest(ca,cb)) == (a, b) — the
+            # exact key _canonical_weighted already collapsed — and
+            # every canonical edge is cross-component. Running the
+            # generic step there costs two vertex-keyed joins, a full
+            # E-row shuffle and an E-row checkpoint to rebuild the
+            # input verbatim (measured: +50% whole-job wall on a
+            # 20M-edge graph, bench/msf_scaling_28_r5{,b}.log), so
+            # round 1 takes the canonical table as its pair-minimal
+            # candidates by construction.
+            if _round == 0:
+                pairs = edges.select(
+                    "w", "a", "b", F.col("a").alias("ca"), F.col("b").alias("cb")
                 )
-                .agg(F.min(F.struct("w", "a", "b", "ca", "cb")).alias("m"))
-                .select("m.w", "m.a", "m.b", "m.ca", "m.cb")
-            )
-            pairs = truncated_checkpoint(pairs)
+            else:
+                pairs = (
+                    edges.join(comp.select(F.col("id").alias("a"), F.col("comp").alias("ca")), "a")
+                    .join(comp.select(F.col("id").alias("b"), F.col("comp").alias("cb")), "b")
+                    .where(F.col("ca") != F.col("cb"))
+                    .groupBy(
+                        F.least("ca", "cb").alias("_cx"), F.greatest("ca", "cb").alias("_cy")
+                    )
+                    .agg(F.min(F.struct("w", "a", "b", "ca", "cb")).alias("m"))
+                    .select("m.w", "m.a", "m.b", "m.ca", "m.cb")
+                )
+                pairs = truncated_checkpoint(pairs)
             if pairs.isEmpty():
                 return forest.orderBy("w", "a", "b")
             m = F.struct("w", "a", "b", F.col("oc")).alias("m")
