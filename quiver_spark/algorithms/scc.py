@@ -130,14 +130,25 @@ def strongly_connected_components(
     state0 = graph.vertices.select("id", F.lit(None).cast("long").alias("scc"))
 
     def _fixpoint(state: DataFrame, round_fn, what: str) -> DataFrame:
-        """Drive ``round_fn(state) -> state'`` (with an in-frame
-        ``_changed`` column) until no row changes."""
+        """Drive ``round_fn(state) -> state'`` until no row changes.
+
+        ``state`` carries a ``_changed`` frontier column (seeded True
+        by the caller for round 0's senders); ``round_fn`` reads
+        ``state.where("_changed")`` as the message senders. Both inner
+        updates are monotone (color only grows, reached only flips
+        False→True), so a vertex whose state did not change last round
+        has nothing new to say — its messages were absorbed when it
+        last changed — and frontier-bound messaging is bit-identical
+        per round to all-senders messaging while the tail rounds
+        shuffle O(frontier) instead of O(E) rows (measured: the
+        all-senders form paid a ~16 s size-invariant floor at 8 cores,
+        BENCH/BASELINE.md "scc 2→8 across three sizes")."""
         for _ in range(max_inner):
             new = _ckpt(round_fn(state))
             changed = new.where("_changed").count()
-            state = new.drop("_changed")
             if changed == 0:
-                return state
+                return new.drop("_changed")
+            state = new
         raise RuntimeError(
             f"scc: {what} fixpoint did not converge in max_inner={max_inner} "
             f"rounds — remaining-subgraph diameter exceeds the cap; raise "
@@ -186,11 +197,14 @@ def strongly_connected_components(
                 )
 
             # ---- 2. forward HashMax coloring on the surviving core
-            color0 = cur_v.select("id", F.col("id").alias("color"))
+            color0 = cur_v.select(
+                "id", F.col("id").alias("color"), F.lit(True).alias("_changed")
+            )
 
             def color_round(c: DataFrame) -> DataFrame:
                 msgs = cur_e.join(
-                    c.select(F.col("id").alias("src"), "color"), "src"
+                    c.where("_changed").select(F.col("id").alias("src"), "color"),
+                    "src",
                 ).select(F.col("dst").alias("id"), "color")
                 agg = msgs.groupBy("id").agg(F.max("color").alias("_m"))
                 return c.join(agg, "id", "left").select(
@@ -202,12 +216,17 @@ def strongly_connected_components(
             color = _fixpoint(_ckpt(color0), color_round, "coloring")
 
             # ---- 3. backward reach from color roots, within color
-            r0 = color.select("id", "color", (F.col("id") == F.col("color")).alias("reached"))
+            r0 = color.select(
+                "id",
+                "color",
+                (F.col("id") == F.col("color")).alias("reached"),
+                (F.col("id") == F.col("color")).alias("_changed"),
+            )
 
             def reach_round(r: DataFrame) -> DataFrame:
                 hits = (
                     cur_e.join(
-                        r.where("reached").select(F.col("id").alias("dst"), F.col("color").alias("_rc")),
+                        r.where("_changed").select(F.col("id").alias("dst"), F.col("color").alias("_rc")),
                         "dst",
                     )
                     .select(F.col("src").alias("id"), F.col("_rc").alias("color"))
