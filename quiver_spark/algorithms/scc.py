@@ -41,8 +41,10 @@ assignments.
 Scale shape: the outer round maps 1:1 onto a ``SuperstepRunner`` step,
 so durable checkpoint/resume (per-partition lineage, job fingerprint,
 SIGKILL recovery) come from the shared runtime at outer-round
-granularity. The inner fixpoints are plain co-partitioned
-join+aggregate rounds over the persisted remaining-edge table — the
+granularity. The inner fixpoints are co-partitioned join+aggregate
+rounds over the persisted remaining-edge table with frontier-bound
+messaging (only last-round-changed vertices send — monotone updates
+make this bit-identical per round; see ``_fixpoint``) — otherwise the
 same smj plan shape as connected_components' HashMin, with the same
 known mirror/CSR escalations if a profile ever demands them (not
 built: coloring touches a shrinking subgraph, and the giant-SCC first
