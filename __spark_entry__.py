@@ -41,10 +41,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (where SQL-expressible)."""
-    from quiver_spark.queries import _REPO_ORACLE_SF_DIR, ORACLES, materialize_repo_table
+    from quiver_spark.queries import (
+        _REPO_ORACLE_SF_DIR,
+        ORACLES,
+        materialize_louvain_assignment,
+        materialize_repo_table,
+    )
 
     # the repo_* oracles read the deterministic synthetic repo table
-    # from parquet; write it here (idempotent, Spark-free) so the SQL
+    # from parquet, and louvain_parts reads the pure-pandas twin's
+    # assignment; write both here (idempotent, Spark-free) so the SQL
     # is runnable even if DuckDB goes first
     materialize_repo_table(_REPO_ORACLE_SF_DIR)
+    materialize_louvain_assignment(_REPO_ORACLE_SF_DIR)
     return dict(ORACLES)

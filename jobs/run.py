@@ -9,16 +9,17 @@ The north rule (BASELINE.json:14) requires the engine to ship as
         --run-dir /ckpt/pr_run1 --strategy auto --tol 1e-6
 
 Subcommands: ``ingest``, ``pagerank``, ``components``, ``labelprop``,
-``triangles``, ``scc``, ``kcore``, ``msf``, ``walks``, ``synthesize``,
+``triangles``, ``scc``, ``kcore``, ``msf``, ``walks``, ``louvain``,
+``synthesize``,
 ``near-dups``, ``dedup-keep``, ``ann-index``, ``stream-ingest``.
 Every runner-based iterative job (pagerank / components / labelprop /
 scc / kcore) takes ``--run-dir`` for durable checkpoints +
 per-partition lineage + metrics, and is resumable: re-submitting the
 same command with the same --run-dir continues from the newest
-completed superstep (SuperstepRunner.run resume=True). ``msf`` and
-``walks`` are one-shot jobs and REFUSE --run-dir (msf has no durable
-mid-contraction checkpoint; walks is deterministic — a re-run
-reproduces the corpus bit-for-bit). ``stream-ingest`` is incrementally
+completed superstep (SuperstepRunner.run resume=True). ``msf``, ``walks``
+and ``louvain`` are one-shot jobs and REFUSE --run-dir (msf/louvain
+have no durable mid-contraction checkpoint; walks is deterministic — a
+re-run reproduces the corpus bit-for-bit). ``stream-ingest`` is incrementally
 resumable the streaming way: its --run-dir is the stream's
 checkpointLocation, so a re-submit processes only repo-table files
 that arrived since the last run.
@@ -78,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         "cmd",
         choices=[
             "ingest", "pagerank", "components", "labelprop", "triangles",
-            "scc", "kcore", "msf", "walks",
+            "scc", "kcore", "msf", "walks", "louvain",
             "synthesize", "near-dups", "dedup-keep", "ann-index",
             "stream-ingest",
         ],
@@ -139,11 +140,11 @@ def main(argv: list[str] | None = None) -> int:
         # start's renormalization assumes the uniform-teleport fixpoint
         ap.error("--reset (personalized teleport) cannot be combined with "
                  "--init-ranks (warm start)")
-    if args.run_dir and args.cmd in ("msf", "walks"):
-        # one-shot jobs: msf has no durable mid-contraction checkpoint,
-        # walks is deterministic (a re-run reproduces the corpus
-        # bit-for-bit) — refuse instead of silently voiding the resume
-        # contract the flag advertises
+    if args.run_dir and args.cmd in ("msf", "walks", "louvain"):
+        # one-shot jobs: msf/louvain have no durable mid-contraction
+        # checkpoint, walks is deterministic (a re-run reproduces the
+        # corpus bit-for-bit) — refuse instead of silently voiding the
+        # resume contract the flag advertises
         ap.error(f"{args.cmd} does not support --run-dir (one-shot job; "
                  "resume has nothing durable to continue from)")
 
@@ -327,6 +328,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         io.write(forest, args.output)
         out = {"job": "msf", "forest_edges": io.read(args.output).count()}
+    elif args.cmd == "louvain":
+        from quiver_spark.algorithms.louvain import louvain
+
+        # louvain itself validates the strategy (auto/local/smj)
+        res = louvain(g, weight_col=args.weight_col or None, strategy=args.strategy)
+        io.write(res.assignment, args.output)
+        out = {
+            "job": "louvain", "levels": res.n_levels,
+            "rounds_per_level": res.rounds_per_level,
+            "q": res.q, "s_total": res.s_total,
+        }
     elif args.cmd == "walks":
         from quiver_spark.algorithms.walks import random_walks
 

@@ -358,6 +358,87 @@ def q_modularity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity_moments(g, asg).orderBy("comm")
 
 
+def _louvain_assignment_path(sf_dir: str) -> str:
+    from quiver_spark.algorithms.louvain import LOUVAIN_SEED
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(
+        _REPO_CACHE_DIR,
+        f"louvain_parts_{tag}_mod{SCC_ORDER_MOD}_seed{LOUVAIN_SEED}.parquet",
+    )
+
+
+def materialize_louvain_assignment(sf_dir: str) -> str:
+    """Idempotently run the PURE-PANDAS Louvain twin on the bowtie
+    graph (edges re-derived from lineitem.parquet with pyarrow — no
+    Spark anywhere) and write its (id, comm) assignment to parquet
+    (atomic tmp + os.replace). Called from BOTH ``q_louvain_parts``
+    and ``__spark_entry__.oracle_sql``, so the DuckDB twin's input
+    exists whichever side the driver runs first — the
+    ``materialize_repo_table`` trick. The Spark query does NOT read
+    this file: it runs the DISTRIBUTED smj tier, so hash equality is a
+    per-vertex bit-equality claim between two independent
+    implementations of the same deterministic schedule."""
+    path = _louvain_assignment_path(sf_dir)
+    if not os.path.exists(path):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from quiver_spark.algorithms.louvain import louvain_local_arrays
+
+        li = (
+            pq.read_table(
+                os.path.join(sf_dir, "lineitem.parquet"),
+                columns=["l_orderkey", "l_linenumber", "l_partkey"],
+            )
+            .to_pandas()
+            .rename(columns={"l_orderkey": "o", "l_linenumber": "n", "l_partkey": "p"})
+        )
+        li = li[li["o"] % SCC_ORDER_MOD == 0]
+        nxt = li.rename(columns={"n": "n2", "p": "p2"})
+        nxt["n"] = nxt["n2"] - 1
+        pairs = li.merge(nxt[["o", "n", "p2"]], on=["o", "n"])
+        pairs = pairs[pairs["p"] != pairs["p2"]][["p", "p2"]].drop_duplicates()
+        src = pairs["p"].to_numpy(dtype=np.int64)
+        dst = pairs["p2"].to_numpy(dtype=np.int64)
+        canon = pd.DataFrame(
+            {"a": np.minimum(src, dst), "b": np.maximum(src, dst)}
+        ).drop_duplicates()
+        ids = np.unique(np.concatenate([src, dst]))
+        out, _res = louvain_local_arrays(
+            ids,
+            canon["a"].to_numpy(),
+            canon["b"].to_numpy(),
+            np.ones(len(canon), dtype=np.int64),
+        )
+        os.makedirs(_REPO_CACHE_DIR, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_louvain_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain communities of the undirected bowtie graph — the
+    DISTRIBUTED smj tier (forced: ``auto`` would route a graph this
+    size to the local tier, which is the same code the twin runs; smj
+    keeps the oracle a genuine cross-implementation claim). The DuckDB
+    side reads the Spark-free pandas twin's materialized assignment,
+    so the hash match pins the full per-vertex assignment of two
+    independent implementations — schedule, exact-integer gain scores,
+    Qnum acceptance ladder, contraction and min-id canonicalization
+    all agree bit-for-bit. Round 5."""
+    from quiver_spark.algorithms.louvain import louvain
+    from quiver_spark.graph import Graph
+
+    materialize_louvain_assignment(sf_dir)
+    g = Graph.from_edges(_scc_parts_edges(spark, sf_dir))
+    res = louvain(g, strategy="smj")
+    return res.assignment.orderBy("id")
+
+
 def q_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-assortativity moments of the undirected bowtie graph —
     the EXACT integer sums (n, Σx, Σxy, Σx²) over the 2|E| directed
@@ -2929,6 +3010,16 @@ SELECT mem.comm, mem.n_nodes,
        CAST(COALESCE(intr.internal, 0) AS BIGINT) AS internal, mem.dtot
 FROM mem LEFT JOIN intr ON intr.comm = mem.comm ORDER BY mem.comm
 """,
+    # the parquet is written by the PURE-PANDAS Louvain twin
+    # (materialize_louvain_assignment — Spark-free, invoked from both
+    # sides like materialize_repo_table); the Spark query runs the
+    # DISTRIBUTED smj tier, so this is per-vertex bit-equality between
+    # two independent implementations of the deterministic schedule
+    "louvain_parts": f"""
+SELECT CAST(id AS BIGINT) AS id, CAST(comm AS BIGINT) AS comm
+FROM read_parquet('{_louvain_assignment_path(_REPO_ORACLE_SF_DIR)}')
+ORDER BY id
+""",
 }
 
 # Dict ORDER is a contract: the driver's correctness gate records only
@@ -3073,6 +3164,9 @@ QUERIES = {
     "betweenness_parts": q_betweenness_parts,
     # weighted PageRank (outflow ∝ edge weight; unrolled weighted twin)
     "pagerank_weighted": q_pagerank_weighted,
+    # Louvain communities (distributed smj vs the Spark-free pandas
+    # twin's materialized assignment — per-vertex bit-equality)
+    "louvain_parts": q_louvain_parts,
 }
 
 # The driver records CORRECTNESS rows for exactly these 50 names, in
