@@ -119,6 +119,20 @@ def main() -> None:
         "label_propagation_5",
         lambda: label_propagation(g, label_col="lang", num_iters=5, strategy="auto").state.count(),
     )
+    # Louvain over the repo graph, auto-routed like the rows above
+    # (local tier at sf0.1; the distributed scaling evidence is the
+    # bench/scaling.py --algo louvain 2→8 row)
+    from quiver_spark.algorithms.louvain import louvain
+
+    def louvain_row():
+        r = louvain(g, strategy="auto")
+        return {
+            "n_comm": r.assignment.select("comm").distinct().count(),
+            "levels": r.n_levels,
+            "q": round(r.q, 4),
+        }
+
+    extra["louvain"] = timed("louvain_communities", louvain_row)
     timed("pagerank_hierarchy_oracle_q", lambda: q_pagerank_hierarchy(spark, sf_dir).count())
 
     # --- training-data pipeline layer at bench scale ---

@@ -11,7 +11,7 @@ efficiency, and prints one JSON line.
 
 Usage: python bench/scaling.py [--edges 20000000] [--vertices 2000000]
        [--iters 10] [--levels 8,32] [--strategy bhj]
-       [--algo pagerank|cc|cc_star|lp|kcore|scc|anf|msf|triangles|ingest|neardup]
+       [--algo pagerank|cc|cc_star|lp|kcore|scc|anf|msf|louvain|triangles|ingest|neardup]
 
 One-shot modes (triangles / ingest / neardup) run the job
 SCALING_ONESHOT_RUNS times per level (env, default 2) and report the
@@ -173,6 +173,19 @@ if algo == "msf":
         lambda: {"n_forest": minimum_spanning_forest(gw, max_iters=40).count()},
         n_e, "boruvka-contraction",
     )
+if algo == "louvain":
+    # one-shot: rounds per level shrink with the candidate set and
+    # levels contract geometrically, so per-round walls are not
+    # comparable supersteps — measure the whole job. The power-law
+    # graph exercises the hub regime (budgeted admission); louvain
+    # releases its own level caches every run, the input graph cache
+    # stays warm.
+    from quiver_spark.algorithms.louvain import louvain
+    oneshot(
+        lambda: {"n_comm": louvain(g, strategy="smj").assignment
+                 .select("comm").distinct().count()},
+        n_e, "budgeted-rounds",
+    )
 if algo == "triangles":
     # input graph cache stays warm across both runs (triangle_count
     # unpersists its own internals, so run 2 re-executes the full
@@ -274,13 +287,13 @@ def main() -> None:
                     help="scale the child heap with the level (N cores -> N*GB); 0 = constant 24g at every level")
     ap.add_argument(
         "--algo", default="pagerank",
-        choices=["pagerank", "cc", "cc_star", "lp", "kcore", "scc", "anf", "msf", "triangles", "ingest", "neardup", "dedup_keep"],
+        choices=["pagerank", "cc", "cc_star", "lp", "kcore", "scc", "anf", "msf", "louvain", "triangles", "ingest", "neardup", "dedup_keep"],
     )
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
     # one-shot modes have a single physical plan; --strategy is
     # superstep-tier only. For doc modes --edges is the row count.
-    _ONESHOT_LABEL = {"triangles": "degree-oriented", "ingest": "one-content-scan", "neardup": "minhash-lsh", "dedup_keep": "pairs-cc-keep", "scc": "fwbw-coloring", "msf": "boruvka-contraction"}
+    _ONESHOT_LABEL = {"triangles": "degree-oriented", "ingest": "one-content-scan", "neardup": "minhash-lsh", "dedup_keep": "pairs-cc-keep", "scc": "fwbw-coloring", "msf": "boruvka-contraction", "louvain": "budgeted-rounds"}
     if args.algo in _ONESHOT_LABEL:
         args.strategy = _ONESHOT_LABEL[args.algo]
     elif args.algo == "kcore":
