@@ -89,12 +89,13 @@ def test_cli_rejects_reset_with_warm_start(tmp_path):
 
 
 def test_cli_rejects_run_dir_on_one_shot_jobs(tmp_path):
-    """msf/walks are one-shot: --run-dir is refused at parse time
-    instead of silently voiding the resume contract it advertises."""
+    """msf/walks/louvain are one-shot: --run-dir is refused at parse
+    time instead of silently voiding the resume contract it
+    advertises."""
     sys.path.insert(0, os.path.join(ROOT, "jobs"))
     import run as job_run
 
-    for cmd in ("msf", "walks"):
+    for cmd in ("msf", "walks", "louvain"):
         with pytest.raises(SystemExit) as exc:
             job_run.main([
                 cmd,
@@ -439,6 +440,36 @@ def test_submit_stream_ingest_kill_resume_equals_batch(tmp_path, spark):
         assert out["edges"] == g_ref.count_edges()
     finally:
         ing.release_source_caches(g_ref)
+
+
+def test_submit_louvain_job(tmp_path):
+    """Round 5: the louvain job runs through the packaged spark-submit
+    surface; min-id-canonicalization invariants checked independently
+    on the WRITTEN parquet (each label is <= every member id AND is
+    itself a member — so a canonicalization regression fails here, not
+    a row-count tautology), plus the job-reported Q > 0."""
+    res = _submit(
+        tmp_path,
+        "louvain",
+        "--synthesize",
+        "--n-files", "200",
+        "--output", str(tmp_path / "comms"),
+    )
+    assert res["job"] == "louvain" and res["levels"] >= 1 and res["q"] > 0
+    import duckdb
+
+    n_rows, n_ids, bad_label, orphan_label = duckdb.sql(f"""
+        WITH a AS (SELECT id, comm FROM '{tmp_path}/comms/*.parquet')
+        SELECT (SELECT count(*) FROM a),
+               (SELECT count(DISTINCT id) FROM a),
+               (SELECT count(*) FROM a WHERE comm > id),
+               (SELECT count(*) FROM (SELECT DISTINCT comm FROM a) c
+                WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.id = c.comm
+                                  AND a.comm = c.comm))
+    """).fetchone()
+    assert n_rows == n_ids, "assignment is not a partition (duplicate ids)"
+    assert bad_label == 0, "a community label exceeds a member id"
+    assert orphan_label == 0, "a community label is not its own member"
 
 
 def test_submit_msf_and_walks_jobs(tmp_path):
