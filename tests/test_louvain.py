@@ -128,6 +128,27 @@ def test_smj_tier_equals_pandas_twin(spark, case):
     assert sres.s_total == lres.s_total
 
 
+def test_smj_invariant_to_shuffle_partitions(spark):
+    """Engine-order independence: the integer scores + total-order
+    argmax/claims make the smj result a pure function of the graph, so
+    changing the shuffle-partition count must not change the
+    assignment or the Qnum history."""
+    ids, edges = _rand_graph(seed=13, n=100, m=500)
+    g = _graph(spark, ids, edges)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        r3 = louvain(g, strategy="smj")
+        a3 = r3.assignment.orderBy("id").toPandas()
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        r8 = louvain(g, strategy="smj")
+        a8 = r8.assignment.orderBy("id").toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    pd.testing.assert_frame_equal(a3, a8)
+    assert r3.qnum_history == r8.qnum_history
+
+
 def test_local_strategy_and_auto_route(spark):
     ids, edges = _two_cliques()
     g = _graph(spark, ids, edges)
