@@ -180,9 +180,14 @@ if algo == "louvain":
     # graph exercises the hub regime (budgeted admission); louvain
     # releases its own level caches every run, the input graph cache
     # stays warm.
+    # tail_tol=1e-6: the standard Louvain gain floor — the exact
+    # fixpoint spends ~250 rounds on dQ≈2.5e-6 crumbs at this scale
+    # (louvain.py docstring); the gate is applied identically at both
+    # levels, so the deterministic round count is the same and the
+    # efficiency compares identical work.
     from quiver_spark.algorithms.louvain import louvain
     oneshot(
-        lambda: {"n_comm": louvain(g, strategy="smj").assignment
+        lambda: {"n_comm": louvain(g, strategy="smj", tail_tol=1e-6).assignment
                  .select("comm").distinct().count()},
         n_e, "budgeted-rounds",
     )

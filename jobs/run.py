@@ -118,6 +118,10 @@ def main(argv: list[str] | None = None) -> int:
         help="(msf) integral edge-weight column; omitted = unit weights "
         "(any spanning forest — still unique under the (w, src, dst) order)",
     )
+    ap.add_argument("--tail-tol", type=float, default=0.0,
+                    help="(louvain) per-round relative gain floor: end a level "
+                         "once a round's realized dQ <= tail_tol (0 = exact "
+                         "local-moving fixpoint)")
     ap.add_argument("--walks-per-vertex", type=int, default=1, help="(walks) corpus width")
     ap.add_argument("--walk-len", type=int, default=10, help="(walks) steps per walk")
     ap.add_argument("--direction", default="out", help="(walks) out | in | both")
@@ -332,7 +336,10 @@ def main(argv: list[str] | None = None) -> int:
         from quiver_spark.algorithms.louvain import louvain
 
         # louvain itself validates the strategy (auto/local/smj)
-        res = louvain(g, weight_col=args.weight_col or None, strategy=args.strategy)
+        res = louvain(
+            g, weight_col=args.weight_col or None, strategy=args.strategy,
+            tail_tol=args.tail_tol,
+        )
         io.write(res.assignment, args.output)
         out = {
             "job": "louvain", "levels": res.n_levels,

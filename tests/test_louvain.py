@@ -212,6 +212,26 @@ def test_weighted_spark_equals_twin(spark):
     assert out["comm"].tolist() == [0, 0, 2, 2]
 
 
+def test_tail_tol_trades_rounds_not_validity(spark):
+    """tail_tol (the standard Louvain gain floor): fewer rounds, Q no
+    better than exact, result still a valid deterministic partition —
+    and the smj tier and pandas twin agree bit-for-bit with the knob
+    active (the gate integer is computed identically)."""
+    ids, edges = _rand_graph(seed=5, n=200, m=1200)
+    out0, res0 = _local(ids, edges)
+    out1, res1 = _local(ids, edges, tail_tol=1e-3)
+    assert sum(res1.rounds_per_level) <= sum(res0.rounds_per_level)
+    assert res1.qnum_history[-1] <= res0.qnum_history[-1]
+    assert sorted(out1["id"].tolist()) == sorted(ids)
+    s1 = louvain(_graph(spark, ids, edges), strategy="smj", tail_tol=1e-3)
+    a1 = s1.assignment.orderBy("id").toPandas()
+    assert a1["comm"].tolist() == out1["comm"].tolist()
+    assert s1.qnum_history == res1.qnum_history
+    # a huge floor ends every level after its first applied round
+    _, res_huge = _local(ids, edges, tail_tol=1.0)
+    assert all(rl <= 2 for rl in res_huge.rounds_per_level)
+
+
 def test_overflow_guard_raises():
     ids = [0, 1]
     with pytest.raises(ValueError, match="exact-score bound"):
